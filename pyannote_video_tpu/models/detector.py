@@ -1,0 +1,203 @@
+"""CNN face detector: multi-scale FCN over an image pyramid, batched on TPU.
+
+TPU-native counterpart of the detector behind ``Face.iterfaces``
+(reference `face/face.py:54,64-67`; per BASELINE.json the target detector is
+dlib's MMOD CNN rather than the HOG default).  Architecture follows dlib's
+MMOD face net: a stride-8 downsampler (3× conv5×5/2) + 3× conv5×5/1 body +
+detection head, slid over an image pyramid (factor 5/6 per level, dlib's
+``pyramid_down<6>``).
+
+TPU-first design decisions:
+
+* the whole frame *batch* runs through every pyramid level as one XLA
+  program per level (static shapes, unrolled levels) — no per-frame loop;
+* per level, a device-side top-K picks candidate cells and decodes boxes in
+  original-image coordinates, so only ``[B, K, 6]`` candidates ever reach
+  the host (never full score maps);
+* the head regresses box deltas on top of the fixed 40×40 MMOD window —
+  a strictly-better extension of MMOD's fixed-window decoding;
+* final gating = host-side NMS over a few dozen candidates.
+
+SAME padding everywhere keeps the cell→pixel geometry exact:
+cell (i, j) at stride 8 ↔ window center ((j+0.5)·8, (i+0.5)·8) at level
+scale.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .nn import Params, batch_norm, bn_init, conv, conv_init, load_params
+from ..ops.boxes import nms
+from ..ops.color import resize_bilinear
+
+WINDOW = 40          # base detection window (px) — MMOD face window size
+STRIDE = 8           # total downsampling of the FCN
+PYRAMID_RATIO = 5.0 / 6.0
+DETECT_SMALLEST = WINDOW  # smallest detectable face without upsampling
+TOPK = 32            # candidates per level per frame
+
+
+def init_params(key) -> Params:
+    ks = jax.random.split(key, 8)
+    return {
+        "c1": conv_init(ks[0], 5, 5, 3, 16),
+        "bn1": bn_init(16),
+        "c2": conv_init(ks[1], 5, 5, 16, 32),
+        "bn2": bn_init(32),
+        "c3": conv_init(ks[2], 5, 5, 32, 32),
+        "bn3": bn_init(32),
+        "c4": conv_init(ks[3], 5, 5, 32, 45),
+        "bn4": bn_init(45),
+        "c5": conv_init(ks[4], 5, 5, 45, 45),
+        "bn5": bn_init(45),
+        "c6": conv_init(ks[5], 5, 5, 45, 45),
+        "bn6": bn_init(45),
+        # head: 1 score + 4 box deltas (dx, dy, log dw, log dh)
+        "head": conv_init(ks[6], 9, 9, 45, 5),
+    }
+
+
+def forward_maps(params: Params, images: jnp.ndarray, train: bool = False,
+                 compute_dtype=jnp.bfloat16):
+    """FCN forward: images [B, h, w, 3] float → maps [B, h/8, w/8, 5].
+
+    Returns (maps, updated_params); params change only in train mode.
+    """
+    x = images.astype(jnp.float32) / 256.0 - 0.5
+    new: Dict[str, Params] = {}
+    h = x
+    for i, stride in zip(range(1, 7), (2, 2, 2, 1, 1, 1)):
+        h = conv(params[f"c{i}"], h, stride=stride, dlib_padding=False,
+                 compute_dtype=compute_dtype)
+        h, bn = batch_norm(params[f"bn{i}"], h, train=train)
+        h = jax.nn.relu(h)
+        new[f"bn{i}"] = bn
+    maps = conv(params["head"], h, stride=1, dlib_padding=False,
+                compute_dtype=compute_dtype)
+    if train:
+        return maps, {**params, **new}
+    return maps, params
+
+
+def pyramid_scales(height: int, width: int, upsample: int = 0,
+                   min_dim: float = WINDOW + 8) -> List[float]:
+    """Pyramid level scales (original → level), largest first.
+
+    ``upsample`` adds 2× levels above the original resolution so faces
+    smaller than the 40 px window become detectable (the reference calls its
+    detector with one level of upsampling, `face/face.py:66`).
+    """
+    scales = [2.0 ** u for u in range(upsample, 0, -1)]
+    s = 1.0
+    while min(height, width) * s >= min_dim:
+        scales.append(s)
+        s *= PYRAMID_RATIO
+    if not scales:
+        scales = [1.0]
+    return scales
+
+
+@partial(jax.jit, static_argnames=("level_h", "level_w"))
+def _level_candidates(params: Params, frames: jnp.ndarray,
+                      level_h: int, level_w: int, scale: float):
+    """One pyramid level: resize → FCN → device top-K decoded candidates.
+
+    Returns (scores [B, K], boxes [B, K, 4]) in ORIGINAL image coordinates.
+    """
+    imgs = resize_bilinear(frames, level_h, level_w)
+    maps, _ = forward_maps(params, imgs)
+    B, mh, mw, _ = maps.shape
+    logits = maps[..., 0].reshape(B, mh * mw)
+    k = min(TOPK, mh * mw)
+    top_scores, top_idx = jax.lax.top_k(logits, k)
+
+    rows = (top_idx // mw).astype(jnp.float32)
+    cols = (top_idx % mw).astype(jnp.float32)
+    deltas = maps[..., 1:].reshape(B, mh * mw, 4)
+    d = jnp.take_along_axis(deltas, top_idx[..., None], axis=1)
+
+    # cell center in level coords, regressed window, mapped back to original
+    cx = (cols + 0.5) * STRIDE + d[..., 0] * WINDOW
+    cy = (rows + 0.5) * STRIDE + d[..., 1] * WINDOW
+    w = WINDOW * jnp.exp(jnp.clip(d[..., 2], -1.5, 1.5))
+    h = WINDOW * jnp.exp(jnp.clip(d[..., 3], -1.5, 1.5))
+    inv = 1.0 / scale
+    boxes = jnp.stack(
+        [(cx - w / 2) * inv, (cy - h / 2) * inv,
+         (cx + w / 2) * inv, (cy + h / 2) * inv],
+        axis=-1,
+    )
+    return top_scores, boxes
+
+
+class FaceDetector:
+    """Multi-scale CNN face detector.
+
+    Parameters
+    ----------
+    model_path : str, optional
+        .npz parameter file (defaults to the packaged synthetic-data
+        weights if present, else random init).
+    threshold : float
+        Detection logit threshold (0 ≙ MMOD's zero-crossing).
+    upsample : int
+        Number of 2× upsampling pyramid levels (reference uses 1,
+        `face/face.py:66`).
+    """
+
+    def __init__(self, model_path: Optional[str] = None, threshold: float = 0.0,
+                 upsample: int = 0, params: Optional[Params] = None,
+                 nms_iou: float = 0.3):
+        if params is not None:
+            self.params = params
+        elif model_path is not None:
+            self.params = load_params(model_path)
+        else:
+            from .weights import default_detector_params
+
+            self.params = default_detector_params()
+        self.threshold = threshold
+        self.upsample = upsample
+        self.nms_iou = nms_iou
+
+    def detect_batch(self, frames: np.ndarray) -> List[List[Tuple[float, float, float, float]]]:
+        """Detect faces in a frame batch [B, H, W, 3] uint8.
+
+        Returns per-frame lists of (left, top, right, bottom) boxes —
+        the ``detect_func`` contract of the tracking engine
+        (`tracking.py:74-76`).
+        """
+        frames_j = jnp.asarray(frames, dtype=jnp.float32)
+        B, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+        all_scores = []
+        all_boxes = []
+        for scale in pyramid_scales(H, W, upsample=self.upsample):
+            lh = max(STRIDE * 2, int(round(H * scale)))
+            lw = max(STRIDE * 2, int(round(W * scale)))
+            s, b = _level_candidates(self.params, frames_j, lh, lw, scale)
+            all_scores.append(np.asarray(s))
+            all_boxes.append(np.asarray(b))
+        scores = np.concatenate(all_scores, axis=1)   # [B, K_total]
+        boxes = np.concatenate(all_boxes, axis=1)     # [B, K_total, 4]
+
+        out: List[List[Tuple[float, float, float, float]]] = []
+        for i in range(B):
+            mask = scores[i] > self.threshold
+            cand_boxes = boxes[i][mask]
+            cand_scores = scores[i][mask]
+            keep = nms(cand_boxes, cand_scores, iou_threshold=self.nms_iou) if len(
+                cand_boxes
+            ) else []
+            out.append([tuple(float(v) for v in cand_boxes[j]) for j in keep])
+        return out
+
+    def __call__(self, frame: np.ndarray):
+        """Single-frame detection (reference ``detect_func`` shape)."""
+        return self.detect_batch(frame[None])[0]

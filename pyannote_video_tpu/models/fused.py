@@ -1,0 +1,151 @@
+"""Fused detect → align → embed: the flagship single-XLA-program pipeline.
+
+The reference runs detection, landmarking and embedding as separate
+per-face dlib calls inside per-frame Python loops
+(`face/face.py:105-132`, `scripts/pyannote-face.py:287-311`).  Here the
+whole stack — pyramid detection, device NMS, landmark placement, chip
+alignment and the ResNet-29 embedder — runs as ONE jitted program over a
+frame batch with fixed face slots (static shapes; empty slots are masked).
+This is the north-star kernel of BASELINE.json ("fused so
+detect→align→embed runs as one XLA program over frame batches").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import detector as det
+from . import embedder as emb
+from .chip import box_to_landmarks, extract_chips
+from .nn import Params
+
+MAX_FACES = 8  # face slots per frame
+
+
+class FusedOutput(NamedTuple):
+    boxes: jnp.ndarray       # [B, M, 4] pixel coords
+    scores: jnp.ndarray      # [B, M]
+    valid: jnp.ndarray       # [B, M] bool
+    landmarks: jnp.ndarray   # [B, M, 68, 2]
+    embeddings: jnp.ndarray  # [B, M, 128]
+
+
+def _device_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
+                max_out: int):
+    """Greedy NMS on device: boxes [K, 4], scores [K] → (boxes, scores,
+    valid) with max_out slots.  O(K²) IoU + fori selection, all static."""
+    from ..ops.boxes import iou
+
+    K = boxes.shape[0]
+    iou_mat = iou(boxes, boxes)  # [K, K]
+    order = jnp.argsort(-scores)
+
+    def body(i, state):
+        suppressed, keep_mask = state
+        idx = order[i]
+        is_live = jnp.logical_not(suppressed[idx])
+        keep_mask = keep_mask.at[idx].set(is_live)
+        # suppress everything overlapping idx (only if idx was kept)
+        overlap = iou_mat[idx] > iou_thresh
+        suppressed = jnp.where(is_live, suppressed | overlap, suppressed)
+        return suppressed, keep_mask
+
+    suppressed = jnp.zeros((K,), dtype=bool)
+    keep_mask = jnp.zeros((K,), dtype=bool)
+    suppressed, keep_mask = jax.lax.fori_loop(0, K, body, (suppressed, keep_mask))
+
+    kept_scores = jnp.where(keep_mask, scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(kept_scores, max_out)
+    return (
+        jnp.take(boxes, top_idx, axis=0),
+        top_scores,
+        jnp.isfinite(top_scores),
+    )
+
+
+class FusedFacePipeline:
+    """detect→align→embed over frame batches, one compiled program per shape.
+
+    Parameters default to the packaged synthetic-trained weights.
+    """
+
+    def __init__(self, detector_params: Optional[Params] = None,
+                 embedder_params: Optional[Params] = None,
+                 threshold: float = 0.0, nms_iou: float = 0.3,
+                 upsample: int = 0, max_faces: int = MAX_FACES):
+        from .weights import default_detector_params, default_embedder_params
+
+        self.detector_params = detector_params or default_detector_params()
+        self.embedder_params = embedder_params or default_embedder_params()
+        self.threshold = threshold
+        self.nms_iou = nms_iou
+        self.upsample = upsample
+        self.max_faces = max_faces
+        self._jitted = {}
+
+    # -- the fused program --------------------------------------------------
+
+    def _build(self, H: int, W: int):
+        scales = det.pyramid_scales(H, W, upsample=self.upsample)
+        level_dims = [
+            (max(det.STRIDE * 2, int(round(H * s))),
+             max(det.STRIDE * 2, int(round(W * s))), s)
+            for s in scales
+        ]
+        max_faces = self.max_faces
+        threshold = self.threshold
+        nms_iou = self.nms_iou
+
+        @jax.jit
+        def fused(det_params, emb_params, frames_u8):
+            frames = frames_u8.astype(jnp.float32)
+            B = frames.shape[0]
+
+            cand_scores = []
+            cand_boxes = []
+            for (lh, lw, s) in level_dims:
+                # nested jit calls inline into the enclosing program
+                sc, bx = det._level_candidates(det_params, frames, lh, lw, s)
+                cand_scores.append(sc)
+                cand_boxes.append(bx)
+            scores = jnp.concatenate(cand_scores, axis=1)  # [B, K]
+            boxes = jnp.concatenate(cand_boxes, axis=1)    # [B, K, 4]
+            # below-threshold candidates can never be selected
+            scores = jnp.where(scores > threshold, scores, -jnp.inf)
+
+            nms_fn = lambda b, s: _device_nms(b, s, nms_iou, max_faces)
+            sel_boxes, sel_scores, valid = jax.vmap(nms_fn)(boxes, scores)
+
+            # landmarks: mean shape in box (the ERT cascade refines these
+            # when a landmark model is attached — pipeline/face.py)
+            flat_boxes = sel_boxes.reshape(B * max_faces, 4)
+            landmarks = box_to_landmarks(flat_boxes)  # [B*M, 68, 2]
+
+            frame_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), max_faces)
+            chips = extract_chips(frames_u8, frame_idx, landmarks)
+            embeddings = emb.forward(emb_params, chips, train=False)[0]
+
+            return FusedOutput(
+                boxes=sel_boxes,
+                scores=sel_scores,
+                valid=valid,
+                landmarks=landmarks.reshape(B, max_faces, 68, 2),
+                embeddings=embeddings.reshape(B, max_faces, emb.EMBED_DIM),
+            )
+
+        return fused
+
+    def __call__(self, frames: np.ndarray) -> FusedOutput:
+        """frames [B, H, W, 3] uint8 → FusedOutput (device arrays)."""
+        H, W = frames.shape[1], frames.shape[2]
+        key = (H, W, frames.shape[0])
+        if key not in self._jitted:
+            self._jitted[key] = self._build(H, W)
+        return self._jitted[key](
+            self.detector_params, self.embedder_params, jnp.asarray(frames)
+        )

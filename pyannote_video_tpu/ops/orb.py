@@ -1,0 +1,202 @@
+"""Batched ORB features: FAST corners + steered-BRIEF binary descriptors.
+
+TPU-native replacement for ``cv2.ORB`` + FLANN-LSH matching used by shot
+threading (reference `structure/thread.py:117-132,137-169`): keypoint
+detection, orientation and description run as one fused XLA program over a
+*batch* of frames with fixed keypoint slots; matching is an exact 2-NN
+Hamming search expressed as an MXU matmul (`hamming_2nn`) — descriptor
+counts per frame are small (≤ 500), so exact search beats approximate LSH
+on TPU (SURVEY §2.2).
+
+Differences from OpenCV (documented, behaviour-equivalent for threading):
+* BRIEF sampling pattern is a seeded Gaussian pattern (BRIEF paper) rather
+  than OpenCV's learned table (not copied); both give discriminative
+  256-bit descriptors;
+* corner response is the FAST arc-contrast score rather than Harris.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+N_BITS = 256
+PATCH = 31          # descriptor patch diameter
+FAST_T = 20.0       # FAST threshold
+MAX_KP = 500        # keypoint slots per frame (cv2.ORB default nfeatures)
+
+# Bresenham circle of radius 3 — the FAST-9/16 test ring, clockwise from
+# 12 o'clock, as (dx, dy).
+_CIRCLE = np.asarray(
+    [(0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+     (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3)],
+    dtype=np.int32,
+)
+
+
+def _brief_pattern(seed: int = 7) -> np.ndarray:
+    """[N_BITS, 4] sampling pairs (x1, y1, x2, y2), Gaussian σ = PATCH/5."""
+    rng = np.random.default_rng(seed)
+    sigma = PATCH / 5.0
+    pts = np.clip(rng.normal(0.0, sigma, size=(N_BITS, 4)),
+                  -(PATCH // 2), PATCH // 2)
+    return pts.astype(np.float32)
+
+
+_PATTERN = _brief_pattern()
+
+
+def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift with edge clamp: out[y, x] = img[y+dy, x+dx]."""
+    return jnp.roll(img, shift=(-dy, -dx), axis=(-2, -1))
+
+
+@partial(jax.jit, static_argnames=("max_kp",))
+def detect_and_describe(grays: jnp.ndarray, max_kp: int = MAX_KP,
+                        threshold: float = FAST_T):
+    """FAST-9 keypoints + oriented BRIEF descriptors for a frame batch.
+
+    grays: [B, H, W] float32.
+    Returns (keypoints [B, K, 3] (x, y, angle), valid [B, K] bool,
+             descriptors [B, K, N_BITS] float32 in {0, 1}).
+    """
+    B, H, W = grays.shape
+
+    # light 5×5 box smoothing (stabilises both the FAST test and BRIEF)
+    kernel = jnp.ones((5, 5), dtype=jnp.float32) / 25.0
+    smooth = lax.conv_general_dilated(
+        grays[:, None], kernel[None, None], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0]
+
+    # --- FAST-9 corner test, fully vectorised over the ring --------------
+    ring = jnp.stack(
+        [_shift2d(grays, int(dy), int(dx)) for dx, dy in _CIRCLE], axis=1
+    )  # [B, 16, H, W]
+    center = grays[:, None]
+    bright = ring > center + threshold
+    dark = ring < center - threshold
+
+    def arc9(flags):
+        # does any window of 9 consecutive ring pixels hold everywhere?
+        acc = jnp.zeros_like(flags[:, 0], dtype=bool)
+        for start in range(16):
+            window = flags[:, start]
+            for k in range(1, 9):
+                window = window & flags[:, (start + k) % 16]
+            acc = acc | window
+        return acc
+
+    is_corner = arc9(bright) | arc9(dark)
+
+    # response: arc contrast (sum of |ring - center| where the test holds)
+    diff = jnp.abs(ring - center)
+    response = jnp.where(
+        is_corner,
+        jnp.maximum(
+            jnp.sum(diff * bright, axis=1), jnp.sum(diff * dark, axis=1)
+        ),
+        0.0,
+    )
+
+    # 3×3 non-maximum suppression
+    local_max = lax.reduce_window(
+        response, -jnp.inf, lax.max, (1, 3, 3), (1, 1, 1), "SAME"
+    )
+    response = jnp.where(response >= local_max, response, 0.0)
+
+    # keep a safe border (descriptor patch + FAST ring)
+    border = PATCH // 2 + 4
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inside = ((yy >= border) & (yy < H - border)
+              & (xx >= border) & (xx < W - border))
+    response = response * inside[None]
+
+    # --- top-K keypoint slots --------------------------------------------
+    flat = response.reshape(B, H * W)
+    top_resp, top_idx = lax.top_k(flat, max_kp)
+    kp_y = (top_idx // W).astype(jnp.float32)
+    kp_x = (top_idx % W).astype(jnp.float32)
+    valid = top_resp > 0.0
+
+    # --- orientation: intensity centroid in a radius-15 disc --------------
+    r = PATCH // 2
+    oy = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    ox = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    disc = (oy[:, None] ** 2 + ox[None, :] ** 2) <= r * r
+
+    def moments(img, y0, x0):
+        ys = y0 + oy[:, None] + jnp.zeros_like(ox)[None, :]
+        xs = x0 + jnp.zeros_like(oy)[:, None] + ox[None, :]
+        from .warp import bilinear_sample
+
+        patch = bilinear_sample(img, ys, xs) * disc
+        m10 = jnp.sum(patch * ox[None, :])
+        m01 = jnp.sum(patch * oy[:, None])
+        return jnp.arctan2(m01, m10)
+
+    def frame_angles(img, ys, xs):
+        return jax.vmap(lambda y, x: moments(img, y, x))(ys, xs)
+
+    angles = jax.vmap(frame_angles)(smooth, kp_y, kp_x)  # [B, K]
+
+    # --- steered BRIEF ----------------------------------------------------
+    pattern = jnp.asarray(_PATTERN)  # [256, 4]
+
+    def describe(img, y0, x0, angle):
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        x1 = c * pattern[:, 0] - s * pattern[:, 1] + x0
+        y1 = s * pattern[:, 0] + c * pattern[:, 1] + y0
+        x2 = c * pattern[:, 2] - s * pattern[:, 3] + x0
+        y2 = s * pattern[:, 2] + c * pattern[:, 3] + y0
+        from .warp import bilinear_sample
+
+        v1 = bilinear_sample(img, y1, x1)
+        v2 = bilinear_sample(img, y2, x2)
+        return (v1 < v2).astype(jnp.float32)
+
+    def frame_desc(img, ys, xs, angs):
+        return jax.vmap(lambda y, x, a: describe(img, y, x, a))(ys, xs, angs)
+
+    descriptors = jax.vmap(frame_desc)(smooth, kp_y, kp_x, angles)
+
+    keypoints = jnp.stack([kp_x, kp_y, angles], axis=-1)
+    return keypoints, valid, descriptors
+
+
+@jax.jit
+def hamming_2nn(desc1: jnp.ndarray, valid1: jnp.ndarray,
+                desc2: jnp.ndarray, valid2: jnp.ndarray):
+    """Exact 2-NN Hamming distances via one MXU matmul.
+
+    desc ∈ {0,1}^[K, 256]; returns (best [K], second [K]) distances for each
+    row of desc1 against desc2 (invalid columns excluded; invalid rows get
+    +inf).  Hamming(x, y) = |x| + |y| − 2·x·yᵀ for binary vectors.
+    """
+    x1 = desc1.astype(jnp.float32)
+    x2 = desc2.astype(jnp.float32)
+    ones1 = jnp.sum(x1, axis=1)[:, None]
+    ones2 = jnp.sum(x2, axis=1)[None, :]
+    cross = jnp.dot(x1, x2.T, preferred_element_type=jnp.float32)
+    dist = ones1 + ones2 - 2.0 * cross
+    dist = jnp.where(valid2[None, :], dist, jnp.inf)
+    neg_top2, _ = lax.top_k(-dist, 2)
+    best = -neg_top2[:, 0]
+    second = -neg_top2[:, 1]
+    best = jnp.where(valid1, best, jnp.inf)
+    second = jnp.where(valid1, second, jnp.inf)
+    return best, second
+
+
+def count_ratio_matches(desc1, valid1, desc2, valid2,
+                        ratio: float = 0.7) -> int:
+    """Lowe-ratio match count (reference `_match`, `thread.py:152-169`)."""
+    best, second = hamming_2nn(desc1, valid1, desc2, valid2)
+    ok = (best < ratio * second) & jnp.isfinite(best)
+    return int(jnp.sum(ok))

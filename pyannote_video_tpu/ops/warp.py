@@ -1,0 +1,123 @@
+"""Batched bilinear sampling / affine warps.
+
+TPU-native replacement for dlib's face-chip extraction geometry
+(``get_face_chip_details`` + ``extract_image_chip`` used inside
+``compute_face_descriptor``, reference `face/face.py:73-76`): face chips are
+cut out with a similarity transform and bilinear interpolation, batched over
+all faces of a frame batch in one gather-based XLA program.
+
+Also used by the DSST tracker (`ops/dsst.py`) to extract scaled patches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample `image` [H, W, C] (or [H, W]) at float coords (ys, xs) [...].
+
+    Out-of-bounds coordinates clamp to the edge (dlib's chip extraction
+    behaviour for borders).  Implemented as four flat 1-D gathers — the form
+    XLA lowers efficiently (2-D advanced indexing produces a much more
+    expensive general gather).
+    """
+    H, W = image.shape[0], image.shape[1]
+    squeeze = image.ndim == 2
+    flat = image.reshape(H * W, -1)  # [H*W, C]
+    out_shape = ys.shape
+
+    ys = jnp.clip(ys.reshape(-1), 0.0, H - 1.0)
+    xs = jnp.clip(xs.reshape(-1), 0.0, W - 1.0)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = (ys - y0.astype(ys.dtype))[:, None]
+    wx = (xs - x0.astype(xs.dtype))[:, None]
+
+    v00 = jnp.take(flat, y0 * W + x0, axis=0)
+    v01 = jnp.take(flat, y0 * W + x1, axis=0)
+    v10 = jnp.take(flat, y1 * W + x0, axis=0)
+    v11 = jnp.take(flat, y1 * W + x1, axis=0)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    out = top * (1 - wy) + bot * wy  # [P, C]
+
+    if squeeze:
+        return out.reshape(out_shape)
+    return out.reshape(*out_shape, image.shape[2])
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def affine_warp(image: jnp.ndarray, matrix: jnp.ndarray,
+                out_h: int, out_w: int) -> jnp.ndarray:
+    """Warp one image with a 2×3 affine matrix mapping OUTPUT → INPUT coords.
+
+    ``in_xy = matrix @ [out_x, out_y, 1]``.  Returns [out_h, out_w, C].
+    """
+    ys_o, xs_o = jnp.mgrid[0:out_h, 0:out_w].astype(jnp.float32)
+    in_x = matrix[0, 0] * xs_o + matrix[0, 1] * ys_o + matrix[0, 2]
+    in_y = matrix[1, 0] * xs_o + matrix[1, 1] * ys_o + matrix[1, 2]
+    return bilinear_sample(image, in_y, in_x)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def batched_affine_warp(images: jnp.ndarray, matrices: jnp.ndarray,
+                        out_h: int, out_w: int) -> jnp.ndarray:
+    """vmap of affine_warp: images [B, H, W, C] × matrices [B, 2, 3]."""
+    return jax.vmap(lambda im, m: affine_warp(im, m, out_h, out_w))(images, matrices)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def gather_affine_warp(images: jnp.ndarray, frame_idx: jnp.ndarray,
+                       matrices: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Extract N chips from a frame batch: chip i warps frame frame_idx[i].
+
+    images [T, H, W, C], frame_idx [N] int32, matrices [N, 2, 3]
+    → [N, out_h, out_w, C].  This is the detect→align→embed glue: many faces
+    per frame batch, each with its own alignment transform.  The per-face
+    frame gather is hoisted out of the warp vmap (one contiguous take
+    instead of N dynamic gathers inside the batched program).
+    """
+    selected = jnp.take(images, frame_idx, axis=0)  # [N, H, W, C]
+    return jax.vmap(lambda im, m: affine_warp(im, m, out_h, out_w))(
+        selected, matrices
+    )
+
+
+def similarity_from_points(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Least-squares similarity transform (rotation+scale+translation).
+
+    Finds s·R, t minimising ‖(s·R·src + t) − dst‖² (Umeyama without
+    reflection handling — face alignment never mirrors).  Returns a 2×3
+    matrix mapping src → dst.  This is the same estimation dlib's
+    ``get_face_chip_details`` performs from the 68 landmarks.
+
+    src, dst: [N, 2] point sets (x, y).
+    """
+    src = jnp.asarray(src, dtype=jnp.float32)
+    dst = jnp.asarray(dst, dtype=jnp.float32)
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    s_c = src - mu_s
+    d_c = dst - mu_d
+    var_s = jnp.sum(s_c * s_c)
+    # complex-number form of 2-D similarity LS fit:
+    # a + ib = Σ conj(s)·d / Σ |s|²  (rotation+scale)
+    a = jnp.sum(s_c[:, 0] * d_c[:, 0] + s_c[:, 1] * d_c[:, 1]) / jnp.maximum(var_s, 1e-12)
+    b = jnp.sum(s_c[:, 0] * d_c[:, 1] - s_c[:, 1] * d_c[:, 0]) / jnp.maximum(var_s, 1e-12)
+    rot = jnp.asarray([[a, -b], [b, a]], dtype=jnp.float32)
+    t = mu_d - rot @ mu_s
+    return jnp.concatenate([rot, t[:, None]], axis=1)
+
+
+def invert_affine(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Invert a 2×3 affine matrix."""
+    A = matrix[:, :2]
+    t = matrix[:, 2]
+    Ainv = jnp.linalg.inv(A)
+    return jnp.concatenate([Ainv, (-Ainv @ t)[:, None]], axis=1)

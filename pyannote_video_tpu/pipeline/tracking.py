@@ -1,0 +1,435 @@
+"""Tracking-by-detection: batched DSST + host association, per shot.
+
+Re-design of the reference engine (`tracking.py:68-434`) with identical
+outputs and defaults but a TPU-first execution model:
+
+* the reference updates one C++ tracker object per face per frame in a
+  Python loop (`tracking.py:199-206`); here ALL trackers of a shot live in
+  fixed device slots and advance through each inter-detection frame chunk
+  with ONE compiled ``lax.scan`` (`ops/dsst.py:track_scan`);
+* detections run batched over the shot's detection frames
+  (`models/detector.py:detect_batch`) instead of per-frame calls
+  (`tracking.py:425-427`);
+* only tiny per-detection-frame association work (gated-overlap Hungarian,
+  `tracking.py:136-182`) runs on host.
+
+Track-building semantics replicate the reference graph construction
+(`tracking.py:184-259`): a matched tracker closes with the detection point
+and the tracker restarted from that detection *continues the same track*
+(shared detection node in the reference's connected-component graph);
+forward and backward passes are merged through shared detection nodes,
+per-timestamp points are fused (`_fix`, `tracking.py:261-296`), and gaps
+below ``track_max_gap`` are bridged (`tracking.py:298-329`).
+"""
+
+from __future__ import annotations
+
+import itertools
+import warnings
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core.assignment import associate_by_overlap
+from ..core.graph import UnionFind
+from ..io.video import Video
+from ..ops import dsst
+from ..ops.color import to_gray
+from ..ops.boxes import gated_overlap
+
+FORWARD = "forward"
+BACKWARD = "backward"
+DETECTION = "detection"
+
+Box = Tuple[float, float, float, float]
+Point = Tuple[float, Box, str]  # (t, box, status)
+
+
+class _Track:
+    """A track under construction: points + the detection nodes it owns."""
+
+    __slots__ = ("points", "det_keys")
+
+    def __init__(self):
+        self.points: List[Point] = []
+        self.det_keys: List[Tuple[int, int]] = []
+
+
+def get_segment_generator(segmentation):
+    """Time-driven segment-boundary generator (reference `tracking.py:44-58`)."""
+    t = yield
+    for segment in segmentation:
+        T = segment.end
+        while True:
+            if T > t:
+                t = yield
+                continue
+            t = yield T
+            break
+
+
+def get_min_max_t(track: Sequence[Point]) -> Tuple[float, float]:
+    return (min(t for t, _, _ in track), max(t for t, _, _ in track))
+
+
+class TrackingByDetection:
+    """(Forward/backward) tracking by detection.
+
+    Same constructor surface and defaults as the reference
+    (`tracking.py:104-119`).
+
+    Parameters
+    ----------
+    detect_func : callable, optional
+        Frame → iterable of (left, top, right, bottom).  When omitted, the
+        packaged CNN face detector runs *batched* over detection frames
+        (the fast path).  A custom function is honoured per frame for
+        API compatibility.
+    detect_smallest : int
+        Smallest object (px) the detector can see (40 for the CNN window).
+    detect_min_size : float
+        Smallest object size as a fraction of video height; drives frame
+        downscaling exactly like the reference (`tracking.py:388-400`).
+    detect_every : float
+        Seconds between detection frames (0 → every frame).
+    track_min_confidence : float
+        Kill trackers whose PSR confidence drops below this (default 10).
+    track_min_overlap_ratio : float
+        Overlap gate for association (default 0.3).
+    track_max_gap : float
+        Bridge gaps shorter than this (seconds).
+    max_tracks : int
+        Device tracker slots per shot.
+    """
+
+    def __init__(self, detect_func: Optional[Callable] = None,
+                 detect_smallest: int = 1,
+                 detect_min_size: float = 0.0,
+                 detect_every: float = 0.0,
+                 track_min_confidence: float = 10.0,
+                 track_min_overlap_ratio: float = 0.3,
+                 track_max_gap: float = 0.0,
+                 max_tracks: int = 16):
+        self.detect_func = detect_func
+        self.detect_smallest = detect_smallest
+        self.detect_min_size = detect_min_size
+        self.detect_every = detect_every
+        self.track_min_confidence = track_min_confidence
+        self.track_min_overlap_ratio = track_min_overlap_ratio
+        self.track_max_gap = track_max_gap
+        self.max_tracks = max_tracks
+        self._batch_detector = None
+
+    # -- small host helpers -------------------------------------------------
+
+    def _overlap(self, box1: Box, box2: Box) -> float:
+        """Gated overlap area of two boxes (reference `_match`,
+        `tracking.py:129-134`)."""
+        m = np.asarray(
+            gated_overlap(np.asarray([box1]), np.asarray([box2]),
+                          self.track_min_overlap_ratio)
+        )
+        return float(m[0, 0])
+
+    def _associate(self, tracker_boxes: Dict[int, Box],
+                   detections: List[Box]) -> Dict[int, int]:
+        """Hungarian association (reference `tracking.py:136-182`).
+
+        Returns {detection_index: slot}.
+        """
+        n_trk, n_det = len(tracker_boxes), len(detections)
+        if n_trk < 1 or n_det < 1:
+            return {}
+        slots = list(tracker_boxes)
+        n = max(n_trk, n_det)
+        overlap = np.zeros((n, n))
+        overlap[:n_trk, :n_det] = np.asarray(
+            gated_overlap(
+                np.asarray([tracker_boxes[s] for s in slots]),
+                np.asarray(detections),
+                self.track_min_overlap_ratio,
+            )
+        )
+        return {d: slots[t]
+                for t, d in associate_by_overlap(overlap, n_trk, n_det)}
+
+    # -- detection ----------------------------------------------------------
+
+    def _detect_frames(self, frames: np.ndarray,
+                       det_frame_idx: np.ndarray) -> Dict[int, List[Box]]:
+        """Detections per detection-frame index, batched when possible."""
+        out: Dict[int, List[Box]] = {}
+        if self.detect_func is not None:
+            for i in det_frame_idx:
+                out[int(i)] = [tuple(map(float, b))
+                               for b in self.detect_func(frames[i])]
+            return out
+        if self._batch_detector is None:
+            from ..models.detector import FaceDetector
+
+            self._batch_detector = FaceDetector()
+        det_frames = frames[det_frame_idx]
+        B = 16
+        boxes_all: List[List[Box]] = []
+        for s in range(0, len(det_frames), B):
+            boxes_all.extend(self._batch_detector.detect_batch(det_frames[s:s + B]))
+        for i, b in zip(det_frame_idx, boxes_all):
+            out[int(i)] = b
+        return out
+
+    # -- one directional pass ----------------------------------------------
+
+    def _track_pass(self, grays: jnp.ndarray, ts: np.ndarray,
+                    detections: Dict[int, List[Box]],
+                    direction: str) -> List[_Track]:
+        """One forward or backward pass over a shot's frames.
+
+        grays: [T, H, W] float32 device array (time-ordered).
+        detections: frame-index → boxes (in time order).
+        """
+        T = grays.shape[0]
+        order = np.arange(T) if direction == FORWARD else np.arange(T)[::-1]
+        det_set = set(detections)
+
+        state = dsst.init_state(self.max_tracks)
+        slot_track: Dict[int, _Track] = {}
+        finished: List[_Track] = []
+        cur_boxes: Dict[int, Box] = {}  # live slot -> last box
+
+        def close(slot: int) -> None:
+            finished.append(slot_track.pop(slot))
+            cur_boxes.pop(slot, None)
+
+        def alive_np(st) -> np.ndarray:
+            return np.asarray(st.alive)
+
+        pos_in_pass = 0
+        while pos_in_pass < T:
+            f = int(order[pos_in_pass])
+            is_det_frame = f in det_set
+
+            if is_det_frame:
+                dets = detections[f]
+                # 1) associate live trackers (positions at f) with detections
+                match = self._associate(cur_boxes, dets)
+                matched_slots = set(match.values())
+                for d, slot in match.items():
+                    trk = slot_track[slot]
+                    # replace the position point recorded at f by the
+                    # detection node (reference `tracking.py:214-224`)
+                    if trk.points and trk.points[-1][0] == float(ts[f]):
+                        trk.points.pop()
+                    trk.points.append((float(ts[f]), dets[d], DETECTION))
+                    trk.det_keys.append((f, d))
+
+                # 2) start new trackers for ALL detections
+                #    (`tracking.py:246-259`); a matched detection's new
+                #    tracker CONTINUES the matched track (shared node)
+                alive = alive_np(state)
+                # free matched slots first (their tracker dies)
+                for slot in matched_slots:
+                    alive[slot] = False
+                free = [s for s in range(self.max_tracks) if not alive[s]]
+                new_boxes, new_slots = [], []
+                for d, det in enumerate(dets):
+                    if not free:
+                        warnings.warn(
+                            f"more than {self.max_tracks} simultaneous "
+                            "tracks; dropping a detection (raise max_tracks)"
+                        )
+                        break
+                    slot = free.pop(0)
+                    new_boxes.append(det)
+                    new_slots.append(slot)
+                    if d in match:
+                        trk = slot_track.pop(match[d])
+                        cur_boxes.pop(match[d], None)
+                    else:
+                        trk = _Track()
+                        trk.points.append((float(ts[f]), det, DETECTION))
+                        trk.det_keys.append((f, d))
+                    slot_track[slot] = trk
+                    cur_boxes[slot] = det
+
+                # kill matched slots on device, then start the new ones
+                alive_dev = np.asarray(state.alive).copy()
+                for slot in matched_slots:
+                    alive_dev[slot] = False
+                state = state._replace(alive=jnp.asarray(alive_dev))
+                if new_boxes:
+                    m = len(new_boxes)
+                    state = dsst.start_tracks(
+                        state, grays[f],
+                        jnp.asarray(new_boxes, dtype=jnp.float32),
+                        jnp.asarray(new_slots, dtype=jnp.int32),
+                        jnp.ones((m,), dtype=bool),
+                    )
+
+            # 3) scan to (and including) the next detection frame
+            next_det_pos = pos_in_pass + 1
+            while next_det_pos < T and int(order[next_det_pos]) not in det_set:
+                next_det_pos += 1
+            span = order[pos_in_pass + 1 : next_det_pos + 1]
+            if len(span) == 0:
+                break
+            block = jnp.take(grays, jnp.asarray(span.copy()), axis=0)
+            state, boxes_b, confs_b, alive_b = dsst.track_scan(
+                state, block, self.track_min_confidence
+            )
+            boxes_b = np.asarray(boxes_b)
+            confs_b = np.asarray(confs_b)
+            alive_b = np.asarray(alive_b)
+
+            for step_i, f_i in enumerate(span):
+                t_i = float(ts[int(f_i)])
+                for slot in list(slot_track):
+                    if not alive_b[step_i, slot]:
+                        continue  # was already dead entering this frame
+                    conf = confs_b[step_i, slot]
+                    if conf < self.track_min_confidence:
+                        close(slot)  # killed at this frame, no point
+                        continue
+                    box = tuple(float(v) for v in boxes_b[step_i, slot])
+                    slot_track[slot].points.append((t_i, box, direction))
+                    cur_boxes[slot] = box
+            pos_in_pass = next_det_pos
+
+        finished.extend(slot_track.values())
+        return [trk for trk in finished if trk.points]
+
+    # -- merge / fix / gap-fill (reference semantics) -----------------------
+
+    def _merge_passes(self, fwd: List[_Track], bwd: List[_Track]) -> List[List[Point]]:
+        """Union tracks sharing a detection node (reference CC step,
+        `tracking.py:345-347`)."""
+        all_tracks = fwd + bwd
+        uf = UnionFind()
+        owner: Dict[Tuple[int, int], int] = {}
+        for i, trk in enumerate(all_tracks):
+            uf.add(i)
+            for key in trk.det_keys:
+                if key in owner:
+                    uf.union(i, owner[key])
+                else:
+                    owner[key] = i
+        merged: Dict[object, List[Point]] = {}
+        for i, trk in enumerate(all_tracks):
+            merged.setdefault(uf.find(i), []).extend(trk.points)
+        return list(merged.values())
+
+    def _fix(self, track: List[Point]) -> List[Point]:
+        """Merge same-timestamp fwd/bwd points (reference `tracking.py:261-296`)."""
+        fixed: List[Point] = []
+        for t, group in itertools.groupby(sorted(track), key=lambda x: x[0]):
+            group = list(group)
+            error = False
+            for (_, p1, _), (_, p2, _) in itertools.combinations(group, 2):
+                if self._overlap(p1, p2) == 0.0:
+                    error = True
+                    break
+            status = "+".join(
+                sorted((s for _, _, s in group),
+                       key=lambda s: {DETECTION: 2, FORWARD: 1, BACKWARD: 3}[s])
+            )
+            if error:
+                status = "error({0})".format(status)
+            pos = tuple(
+                int(round(v))
+                for v in np.mean(np.vstack([p for _, p, _ in group]), axis=0)
+            )
+            fixed.append((t, pos, status))
+        return fixed
+
+    def _fill_gaps(self, tracks: List[List[Point]]) -> List[List[Point]]:
+        """Bridge short gaps between matching tracks (`tracking.py:298-329`)."""
+        tracks = sorted(tracks, key=get_min_max_t)
+        uf = UnionFind()
+        for i in range(len(tracks)):
+            uf.add(i)
+        for i, j in itertools.combinations(range(len(tracks)), 2):
+            ti = tracks[i][-1][0]
+            tj = tracks[j][0][0]
+            if (tj < ti) or (tj - ti > self.track_max_gap):
+                continue
+            if self._overlap(tracks[i][-1][1], tracks[j][0][1]):
+                uf.union(i, j)
+        merged = []
+        for group in uf.groups():
+            track = [pt for idx in sorted(group) for pt in tracks[idx]]
+            merged.append(track)
+        return merged
+
+    def _normalize_track(self, track: List[Point], frame_width: int,
+                         frame_height: int) -> List[Point]:
+        """Pixel → frame-ratio coords (reference `tracking.py:364-372`)."""
+        return [
+            (t, (l / frame_width, tp / frame_height,
+                 r / frame_width, b / frame_height), status)
+            for (t, (l, tp, r, b), status) in track
+        ]
+
+    # -- shot processing ----------------------------------------------------
+
+    def _process_shot(self, frames: np.ndarray, ts: np.ndarray,
+                      fps: float) -> Iterator[List[Point]]:
+        if len(frames) == 0:
+            return
+        if self.detect_every > 0.0:
+            every = max(1, int(self.detect_every * fps))
+        else:
+            every = 1
+        det_idx = np.arange(0, len(frames), every)
+        detections = self._detect_frames(frames, det_idx)
+
+        grays = to_gray(jnp.asarray(frames))
+
+        fwd = self._track_pass(grays, ts, detections, FORWARD)
+        bwd = self._track_pass(grays, ts, detections, BACKWARD)
+
+        tracks = [self._fix(trk) for trk in self._merge_passes(fwd, bwd)]
+        tracks = self._fill_gaps(tracks)
+        for track in sorted(tracks, key=get_min_max_t):
+            yield track
+
+    def __call__(self, video: Video, segmentation) -> Iterator[List[Point]]:
+        """Yield normalized tracks per shot (reference `tracking.py:374-434`)."""
+        # downscale so the smallest requested face matches what the
+        # detector can see (reference `tracking.py:388-400`)
+        width, height = video.size
+        ratio = 1.0
+        if self.detect_min_size > 0.0:
+            ratio = self.detect_smallest / (self.detect_min_size * height)
+            ratio = min(1.0, ratio)
+        old_frame_size = tuple(video.frame_size)
+        frame_width = int(width * ratio)
+        frame_height = int(height * ratio)
+        video.frame_size = (frame_width, frame_height)
+
+        segment_generator = get_segment_generator(segmentation)
+        segment_generator.send(None)
+
+        shot_frames: List[np.ndarray] = []
+        shot_ts: List[float] = []
+        fps = video.frame_rate
+
+        try:
+            for t, frame in video:
+                segment = segment_generator.send(t)
+                if segment:
+                    for track in self._process_shot(
+                        np.asarray(shot_frames), np.asarray(shot_ts), fps
+                    ):
+                        yield self._normalize_track(track, frame_width,
+                                                    frame_height)
+                    shot_frames, shot_ts = [], []
+                shot_frames.append(frame)
+                shot_ts.append(t)
+
+            for track in self._process_shot(
+                np.asarray(shot_frames), np.asarray(shot_ts), fps
+            ):
+                yield self._normalize_track(track, frame_width, frame_height)
+        finally:
+            video.frame_size = old_frame_size

@@ -1,0 +1,125 @@
+"""Synthetic training data for detector / landmark / embedder models.
+
+Samples from the same parametric face distribution as the test fixtures
+(`utils/synthetic.py`), so trained models and pipeline tests agree.
+All generation is host-side NumPy; batches are handed to jitted train steps.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..utils.synthetic import FaceParams, _background, face_landmarks, render_face
+from ..models.detector import WINDOW
+
+
+def detection_batch(rng: np.random.Generator, batch: int = 16,
+                    height: int = 128, width: int = 128,
+                    p_face: float = 0.8) -> Tuple[np.ndarray, List[List[Tuple[float, float, float, float]]]]:
+    """Frames with 0-2 faces whose heights sit in the detector's window band.
+
+    Returns (frames [B, H, W, 3] uint8, per-frame GT box lists).
+    """
+    frames = np.empty((batch, height, width, 3), dtype=np.uint8)
+    boxes: List[List[Tuple[float, float, float, float]]] = []
+    for b in range(batch):
+        bg = _background(width, height, rng)
+        gt: List[Tuple[float, float, float, float]] = []
+        n_faces = rng.integers(0, 3) if rng.random() < p_face else 0
+        for _ in range(n_faces):
+            params = FaceParams.random(rng)
+            face_h = WINDOW * rng.uniform(0.85, 1.2)
+            half_w = face_h / 2.0 / params.aspect
+            cx = rng.uniform(half_w + 2, width - half_w - 2)
+            cy = rng.uniform(face_h / 2 + 2, height - face_h / 2 - 2)
+            # avoid heavy overlap with existing faces
+            if any(abs(cx - (g[0] + g[2]) / 2) < face_h * 0.8
+                   and abs(cy - (g[1] + g[3]) / 2) < face_h * 0.8 for g in gt):
+                continue
+            render_face(bg, cx, cy, face_h, params)
+            gt.append((cx - half_w, cy - face_h / 2, cx + half_w, cy + face_h / 2))
+        noise = rng.normal(0, 2.0, size=bg.shape)
+        frames[b] = np.clip(bg + noise, 0, 255).astype(np.uint8)
+        boxes.append(gt)
+    return frames, boxes
+
+
+def detection_targets(boxes: List[List[Tuple[float, float, float, float]]],
+                      height: int, width: int, stride: int = 8,
+                      window: float = WINDOW) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dense target maps for the detector FCN.
+
+    Returns (labels [B, mh, mw] in {1, 0, -1=ignore},
+             deltas [B, mh, mw, 4], delta_mask [B, mh, mw]).
+    """
+    mh, mw = height // stride, width // stride
+    B = len(boxes)
+    labels = np.zeros((B, mh, mw), dtype=np.float32)
+    deltas = np.zeros((B, mh, mw, 4), dtype=np.float32)
+    for b, gts in enumerate(boxes):
+        for (l, t, r, btm) in gts:
+            cx, cy = (l + r) / 2, (t + btm) / 2
+            w, h = r - l, btm - t
+            col = int(cx / stride)
+            row = int(cy / stride)
+            if not (0 <= row < mh and 0 <= col < mw):
+                continue
+            # ignore ring around the positive cell
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    rr, cc = row + dr, col + dc
+                    if 0 <= rr < mh and 0 <= cc < mw and labels[b, rr, cc] == 0:
+                        labels[b, rr, cc] = -1.0
+            labels[b, row, col] = 1.0
+            cell_cx = (col + 0.5) * stride
+            cell_cy = (row + 0.5) * stride
+            deltas[b, row, col] = [
+                (cx - cell_cx) / window,
+                (cy - cell_cy) / window,
+                np.log(max(w, 1.0) / window),
+                np.log(max(h, 1.0) / window),
+            ]
+    mask = (labels == 1.0).astype(np.float32)
+    return labels, deltas, mask
+
+
+def embedding_batch(rng: np.random.Generator,
+                    identities: Dict[int, FaceParams],
+                    n_ident: int = 8, per_ident: int = 4,
+                    chip_size: int = 150,
+                    padding: float = 0.25) -> Tuple[np.ndarray, np.ndarray]:
+    """Aligned face chips with identity labels for metric learning.
+
+    Faces are rendered at (approximately) canonical chip alignment with
+    small geometric jitter, varying background/lighting — the embedder must
+    become invariant to everything except identity.
+    """
+    ids = rng.choice(list(identities), size=min(n_ident, len(identities)),
+                     replace=False)
+    chips = np.empty((len(ids) * per_ident, chip_size, chip_size, 3),
+                     dtype=np.uint8)
+    labels = np.empty((len(ids) * per_ident,), dtype=np.int32)
+    face_h = chip_size / (1.0 + 2.0 * padding)
+    i = 0
+    for ident in ids:
+        params = identities[int(ident)]
+        for _ in range(per_ident):
+            bg = _background(chip_size, chip_size, rng)
+            cx = chip_size / 2 + rng.uniform(-4, 4)
+            cy = chip_size / 2 + rng.uniform(-4, 4)
+            h = face_h * rng.uniform(0.92, 1.08)
+            render_face(bg, cx, cy, h, params)
+            gain = rng.uniform(0.8, 1.2)
+            bias = rng.uniform(-15, 15)
+            noise = rng.normal(0, 3.0, size=bg.shape)
+            chips[i] = np.clip(bg * gain + bias + noise, 0, 255).astype(np.uint8)
+            labels[i] = int(ident)
+            i += 1
+    return chips, labels
+
+
+def identity_bank(n: int = 64, seed: int = 1234) -> Dict[int, FaceParams]:
+    rng = np.random.default_rng(seed)
+    return {i: FaceParams.random(rng) for i in range(n)}

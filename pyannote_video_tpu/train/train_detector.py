@@ -1,0 +1,92 @@
+"""Detector training on the synthetic face distribution.
+
+Trains the FCN detector (`models/detector.py`) with a class-balanced BCE on
+the score map + smooth-L1 on box deltas at positive cells.  Runs on whatever
+JAX device is available (TPU preferred); the train step is one jitted
+program per batch.
+
+Usage:  python -m pyannote_video_tpu.train.train_detector [steps] [out.npz]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import detector
+from ..models.nn import save_params
+from . import data
+
+
+def loss_fn(params, frames, labels, deltas, delta_mask):
+    maps, params_new = detector.forward_maps(params, frames, train=True,
+                                             compute_dtype=jnp.float32)
+    logits = maps[..., 0]
+    pred_deltas = maps[..., 1:]
+
+    valid = labels >= 0.0  # -1 = ignore ring
+    pos = labels == 1.0
+    # class-balanced BCE: positives are rare
+    bce = optax.sigmoid_binary_cross_entropy(logits, jnp.maximum(labels, 0.0))
+    w = jnp.where(pos, 20.0, 1.0) * valid
+    cls_loss = jnp.sum(bce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    reg_err = pred_deltas - deltas
+    huber = jnp.where(jnp.abs(reg_err) < 1.0, 0.5 * reg_err ** 2,
+                      jnp.abs(reg_err) - 0.5)
+    reg_loss = jnp.sum(huber * delta_mask[..., None]) / jnp.maximum(
+        jnp.sum(delta_mask) * 4.0, 1.0
+    )
+    return cls_loss + reg_loss, params_new
+
+
+def train(steps: int = 600, batch: int = 16, size: int = 128,
+          seed: int = 0, lr: float = 3e-4, log_every: int = 50):
+    rng = np.random.default_rng(seed)
+    params = detector.init_params(jax.random.PRNGKey(seed))
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, frames, labels, deltas, mask):
+        (loss, params_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, frames, labels, deltas, mask
+        )
+        updates, opt_state = tx.update(grads, opt_state, params_bn)
+        return optax.apply_updates(params_bn, updates), opt_state, loss
+
+    t0 = time.time()
+    for step in range(steps):
+        frames, boxes = data.detection_batch(rng, batch=batch,
+                                             height=size, width=size)
+        labels, deltas, mask = data.detection_targets(boxes, size, size)
+        params, opt_state, loss = step_fn(
+            params, opt_state,
+            jnp.asarray(frames, dtype=jnp.float32), jnp.asarray(labels),
+            jnp.asarray(deltas), jnp.asarray(mask),
+        )
+        if step % log_every == 0 or step == steps - 1:
+            print(f"step {step:5d}  loss {float(loss):.4f}  "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+    return params
+
+
+def main():
+    from ..models.weights import DETECTOR_FILE
+
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    out = sys.argv[2] if len(sys.argv) > 2 else str(DETECTOR_FILE)
+    params = train(steps=steps)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save_params(out, params)
+    print("saved", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Embedder training: dlib-style metric learning on synthetic identities.
+
+Trains the ResNet-29 embedder (`models/embedder.py`) with dlib's
+``loss_metric`` objective so the learned embedding space matches the
+reference's *operating point*: same-identity pairs are pushed below the
+0.6 distance threshold minus a margin, different-identity pairs above it
+plus the margin — which is exactly what the reference's clustering
+threshold 0.6 assumes (`face/clustering.py:138`).
+
+Usage:  python -m pyannote_video_tpu.train.train_embedder [steps] [out.npz]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import embedder
+from ..models.nn import save_params
+from ..ops.distance import pairwise_sqdist
+from . import data
+
+THRESHOLD = 0.6   # dlib loss_metric distance threshold
+MARGIN = 0.04     # dlib loss_metric margin
+
+
+def loss_fn(params, chips, labels):
+    emb, params_new = embedder.forward(params, chips, train=True,
+                                       compute_dtype=jnp.float32)
+    # epsilon inside the sqrt: the diagonal's exact zero would otherwise
+    # produce an infinite sqrt-gradient that the mask turns into NaN
+    d = jnp.sqrt(pairwise_sqdist(emb, emb) + 1e-9)
+    same = (labels[:, None] == labels[None, :]).astype(jnp.float32)
+    eye = jnp.eye(labels.shape[0], dtype=jnp.float32)
+    same_mask = same * (1.0 - eye)
+    diff_mask = 1.0 - same
+
+    # dlib loss_metric hinges
+    same_loss = jnp.maximum(0.0, d - (THRESHOLD - MARGIN)) * same_mask
+    diff_loss = jnp.maximum(0.0, (THRESHOLD + MARGIN) - d) * diff_mask
+    n_same = jnp.maximum(jnp.sum(same_mask), 1.0)
+    n_diff = jnp.maximum(jnp.sum(diff_mask), 1.0)
+    return jnp.sum(same_loss) / n_same + jnp.sum(diff_loss) / n_diff, params_new
+
+
+def train(steps: int = 400, n_ident: int = 8, per_ident: int = 4,
+          width: float = None, seed: int = 0, lr: float = 1e-3,
+          log_every: int = 25):
+    from ..models.weights import EMBEDDER_WIDTH
+
+    width = EMBEDDER_WIDTH if width is None else width
+    rng = np.random.default_rng(seed)
+    identities = data.identity_bank(64, seed=seed + 1)
+    params = embedder.init_params(jax.random.PRNGKey(seed), width=width)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, chips, labels):
+        (loss, params_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, chips, labels
+        )
+        updates, opt_state = tx.update(grads, opt_state, params_bn)
+        return optax.apply_updates(params_bn, updates), opt_state, loss
+
+    t0 = time.time()
+    for step in range(steps):
+        chips, labels = data.embedding_batch(rng, identities,
+                                             n_ident=n_ident,
+                                             per_ident=per_ident)
+        params, opt_state, loss = step_fn(
+            params, opt_state,
+            jnp.asarray(chips, dtype=jnp.float32), jnp.asarray(labels),
+        )
+        if step % log_every == 0 or step == steps - 1:
+            print(f"step {step:5d}  loss {float(loss):.4f}  "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+    return params
+
+
+def main():
+    from ..models.weights import EMBEDDER_FILE
+
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    out = sys.argv[2] if len(sys.argv) > 2 else str(EMBEDDER_FILE)
+    params = train(steps=steps)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save_params(out, params)
+    print("saved", out)
+
+
+if __name__ == "__main__":
+    main()

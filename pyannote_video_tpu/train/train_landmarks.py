@@ -1,0 +1,244 @@
+"""ERT landmark-cascade training (Kazemi–Sullivan gradient boosting).
+
+Trains the gather-based cascade (`models/landmarks.py`) on the synthetic
+face distribution: each stage extracts a pixel-difference feature pool at
+the current shape estimate, then fits T regression trees sequentially on
+the shape residuals (greedy variance-reduction splits over random
+candidate pixel pairs, dlib's training scheme at reduced scale).
+
+Usage:  python -m pyannote_video_tpu.train.train_landmarks [out.npz]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..utils.synthetic import CANONICAL_LANDMARKS, FaceParams, _background, render_face
+from ..models.landmarks import N_POINTS
+
+# cascade hyper-parameters (reduced from dlib's 10×500×depth-4 to keep the
+# committed weight file small; accuracy on the synthetic distribution is
+# equivalent)
+N_STAGES = 8
+N_TREES = 96
+DEPTH = 3
+POOL = 256
+N_CANDIDATES = 24
+LEARNING_RATE = 0.1
+LAMBDA_DIST = 0.1  # exp(-dist/lambda) prior for picking close pixel pairs
+
+
+def make_dataset(n_images: int = 700, size: int = 96, seed: int = 0,
+                 oversample: int = 2):
+    """Rendered faces with GT landmarks + jittered boxes.
+
+    Returns (grays [N, size, size], boxes [N, 4], gt_norm [N, 136]).
+    """
+    rng = np.random.default_rng(seed)
+    grays, boxes, gts = [], [], []
+    for _ in range(n_images):
+        params = FaceParams.random(rng)
+        bg = _background(size, size, rng)
+        face_h = size * rng.uniform(0.45, 0.7)
+        cx = size / 2 + rng.uniform(-6, 6)
+        cy = size / 2 + rng.uniform(-6, 6)
+        lm = render_face(bg, cx, cy, face_h, params)
+        img = np.clip(bg + rng.normal(0, 2.0, bg.shape), 0, 255)
+        gray = img.mean(axis=2).astype(np.float32)
+
+        half_w = face_h / 2.0 / params.aspect
+        half_h = face_h / 2.0
+        for _ in range(oversample):
+            # jittered detection box (detector noise simulation)
+            jx = rng.uniform(-0.06, 0.06) * 2 * half_w
+            jy = rng.uniform(-0.06, 0.06) * 2 * half_h
+            js = rng.uniform(0.92, 1.08)
+            bw, bh = half_w * js, half_h * js
+            box = (cx + jx - bw, cy + jy - bh, cx + jx + bw, cy + jy + bh)
+            bcx, bcy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+            gt_norm = np.stack(
+                [(lm[:, 0] - bcx) / bw, (lm[:, 1] - bcy) / bh], axis=1
+            )
+            grays.append(gray)
+            boxes.append(box)
+            gts.append(gt_norm.reshape(-1))
+    return (np.stack(grays), np.asarray(boxes, dtype=np.float32),
+            np.asarray(gts, dtype=np.float32))
+
+
+def _bilinear(gray: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    h, w = gray.shape
+    ys = np.clip(ys, 0, h - 1.0)
+    xs = np.clip(xs, 0, w - 1.0)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = ys - y0
+    wx = xs - x0
+    return ((gray[y0, x0] * (1 - wx) + gray[y0, x1] * wx) * (1 - wy)
+            + (gray[y1, x0] * (1 - wx) + gray[y1, x1] * wx) * wy)
+
+
+def _similarity(mean_shape: np.ndarray, shape: np.ndarray) -> np.ndarray:
+    ms = mean_shape - mean_shape.mean(axis=0)
+    s = shape - shape.mean(axis=0)
+    var = (ms * ms).sum()
+    a = (ms[:, 0] * s[:, 0] + ms[:, 1] * s[:, 1]).sum() / max(var, 1e-9)
+    b = (ms[:, 0] * s[:, 1] - ms[:, 1] * s[:, 0]).sum() / max(var, 1e-9)
+    return np.asarray([[a, -b], [b, a]], dtype=np.float32)
+
+
+def extract_features(grays, boxes, shapes, mean_shape, anchor, offset):
+    """Host feature extraction matching `models/landmarks.py` exactly."""
+    N = len(grays)
+    feats = np.empty((N, len(anchor)), dtype=np.float32)
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2
+    hw = np.maximum((boxes[:, 2] - boxes[:, 0]) / 2, 1.0)
+    hh = np.maximum((boxes[:, 3] - boxes[:, 1]) / 2, 1.0)
+    for i in range(N):
+        shape_i = shapes[i].reshape(N_POINTS, 2)
+        rot = _similarity(mean_shape, shape_i)
+        pts = shape_i[anchor] + offset @ rot.T
+        xs = cx[i] + pts[:, 0] * hw[i]
+        ys = cy[i] + pts[:, 1] * hh[i]
+        feats[i] = _bilinear(grays[i], ys, xs)
+    return feats
+
+
+def fit_tree(feats: np.ndarray, residual: np.ndarray,
+             rng: np.random.Generator, pair_dist: np.ndarray):
+    """Greedy depth-DEPTH regression tree; returns (i1, i2, thr, leaves)."""
+    N, P = feats.shape
+    nodes = (1 << DEPTH) - 1
+    n_leaves = 1 << DEPTH
+    i1 = np.zeros(nodes, dtype=np.int32)
+    i2 = np.zeros(nodes, dtype=np.int32)
+    thr = np.zeros(nodes, dtype=np.float32)
+    # sample membership: node id per sample, walked level by level
+    node_of = np.zeros(N, dtype=np.int64)
+
+    for node in range(nodes):
+        mask = node_of == node
+        n_here = int(mask.sum())
+        if n_here < 2:
+            # degenerate split: everything goes left
+            i1[node], i2[node], thr[node] = 0, 0, np.inf
+        else:
+            res = residual[mask]
+            f = feats[mask]
+            best_gain, best = -np.inf, (0, 0, np.inf)
+            cand_i = rng.integers(0, P, size=N_CANDIDATES)
+            # prefer close pixel pairs (dlib's exp(-dist/λ) prior)
+            cand_j = np.empty_like(cand_i)
+            for c, ci in enumerate(cand_i):
+                w = np.exp(-pair_dist[ci] / LAMBDA_DIST)
+                w[ci] = 0.0
+                w /= w.sum()
+                cand_j[c] = rng.choice(P, p=w)
+            diffs = f[:, cand_i] - f[:, cand_j]           # [n, C]
+            ths = diffs[rng.integers(0, n_here, size=N_CANDIDATES),
+                        np.arange(N_CANDIDATES)]
+            total = res.sum(axis=0)
+            for c in range(N_CANDIDATES):
+                right = diffs[:, c] > ths[c]
+                n_r = int(right.sum())
+                n_l = n_here - n_r
+                if n_r == 0 or n_l == 0:
+                    continue
+                sum_r = res[right].sum(axis=0)
+                sum_l = total - sum_r
+                gain = (sum_l @ sum_l) / n_l + (sum_r @ sum_r) / n_r
+                if gain > best_gain:
+                    best_gain = gain
+                    best = (int(cand_i[c]), int(cand_j[c]), float(ths[c]))
+            i1[node], i2[node], thr[node] = best
+        # advance samples at this node one level down
+        go_right = (feats[mask, i1[node]] - feats[mask, i2[node]]) > thr[node]
+        children = 2 * node + 1 + go_right.astype(np.int64)
+        node_of[mask] = children
+
+    leaves = np.zeros((n_leaves, residual.shape[1]), dtype=np.float32)
+    leaf_of = node_of - nodes
+    for leaf in range(n_leaves):
+        mask = leaf_of == leaf
+        if mask.any():
+            leaves[leaf] = LEARNING_RATE * residual[mask].mean(axis=0)
+    return i1, i2, thr, leaves, leaf_of
+
+
+def train(n_images: int = 700, seed: int = 0, verbose: bool = True) -> Dict:
+    rng = np.random.default_rng(seed)
+    grays, boxes, gt = make_dataset(n_images=n_images, seed=seed)
+    N = len(grays)
+    mean_shape = CANONICAL_LANDMARKS.astype(np.float32)
+    shapes = np.broadcast_to(mean_shape.reshape(1, -1), (N, 2 * N_POINTS)).copy()
+
+    params: Dict = {
+        "mean_shape": mean_shape,
+        "n_stages": np.asarray(N_STAGES),
+        "depth": np.asarray(DEPTH),
+    }
+
+    t0 = time.time()
+    for stage in range(N_STAGES):
+        anchor = rng.integers(0, N_POINTS, size=POOL).astype(np.int32)
+        offset = rng.uniform(-0.25, 0.25, size=(POOL, 2)).astype(np.float32)
+        feats = extract_features(grays, boxes, shapes, mean_shape,
+                                 anchor, offset)
+        # pairwise pool-point distances for the close-pair prior
+        pts = mean_shape[anchor] + offset
+        pair_dist = np.sqrt(
+            ((pts[:, None] - pts[None, :]) ** 2).sum(-1)
+        ).astype(np.float32)
+
+        residual = gt - shapes
+        stage_i1 = np.empty((N_TREES, (1 << DEPTH) - 1), dtype=np.int32)
+        stage_i2 = np.empty_like(stage_i1)
+        stage_th = np.empty(stage_i1.shape, dtype=np.float32)
+        stage_lv = np.empty((N_TREES, 1 << DEPTH, 2 * N_POINTS),
+                            dtype=np.float32)
+        for t in range(N_TREES):
+            i1, i2, th, leaves, leaf_of = fit_tree(feats, residual, rng,
+                                                   pair_dist)
+            stage_i1[t], stage_i2[t], stage_th[t], stage_lv[t] = (
+                i1, i2, th, leaves
+            )
+            pred = leaves[leaf_of]
+            residual = residual - pred
+            shapes = shapes + pred
+
+        params[f"s{stage}/anchor"] = anchor
+        params[f"s{stage}/offset"] = offset
+        params[f"s{stage}/i1"] = stage_i1
+        params[f"s{stage}/i2"] = stage_i2
+        params[f"s{stage}/thresh"] = stage_th
+        params[f"s{stage}/leaves"] = stage_lv
+
+        if verbose:
+            err = np.sqrt(((gt - shapes) ** 2).reshape(N, N_POINTS, 2)
+                          .sum(-1)).mean()
+            print(f"stage {stage}: mean landmark error {err:.4f} "
+                  f"(face units)  ({time.time() - t0:.1f}s)", flush=True)
+    return params
+
+
+def main():
+    from ..models.weights import LANDMARKS_FILE
+    from ..models.landmarks import save
+
+    out = sys.argv[1] if len(sys.argv) > 1 else str(LANDMARKS_FILE)
+    params = train()
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save(out, params)
+    print("saved", out)
+
+
+if __name__ == "__main__":
+    main()

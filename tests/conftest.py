@@ -7,7 +7,11 @@ the standard JAX trick for testing distributed code (SURVEY §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the image's sitecustomize registers the axon TPU backend
+# whenever PALLAS_AXON_POOL_IPS is set and the ambient JAX_PLATFORMS=axon
+# wins over setdefault — tests must run on true CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

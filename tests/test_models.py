@@ -1,0 +1,199 @@
+"""Tests for the model stack: detector, landmarks, chip, embedder, fused."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyannote_video_tpu.models import detector as det
+from pyannote_video_tpu.models import embedder as emb
+from pyannote_video_tpu.models.chip import (
+    box_to_landmarks,
+    canonical_chip_landmarks,
+    chip_transforms,
+    extract_chips,
+)
+from pyannote_video_tpu.models.weights import (
+    DETECTOR_FILE,
+    EMBEDDER_FILE,
+    LANDMARKS_FILE,
+)
+from pyannote_video_tpu.utils.synthetic import synthetic_episode
+
+
+def iou_xyxy(a, b):
+    ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+    ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0, ix1 - ix0) * max(0, iy1 - iy0)
+    union = (
+        (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    )
+    return inter / union
+
+
+@pytest.fixture(scope="module")
+def episode():
+    return synthetic_episode(
+        n_shots=2, shot_frames=8, width=160, height=120, seed=21,
+        face_height_ratio=0.45,
+    )
+
+
+class TestDetector:
+    def test_forward_shapes(self):
+        p = det.init_params(jax.random.PRNGKey(0))
+        maps, _ = det.forward_maps(p, jnp.zeros((2, 64, 64, 3)))
+        assert maps.shape == (2, 8, 8, 5)
+
+    def test_pyramid_scales(self):
+        scales = det.pyramid_scales(720, 1280)
+        assert scales[0] == 1.0
+        assert all(s1 > s2 for s1, s2 in zip(scales, scales[1:]))
+        assert 720 * scales[-1] >= det.WINDOW
+        up = det.pyramid_scales(720, 1280, upsample=1)
+        assert up[0] == 2.0
+
+    @pytest.mark.skipif(not DETECTOR_FILE.exists(), reason="no trained weights")
+    def test_detects_synthetic_faces(self, episode):
+        d = det.FaceDetector()
+        hits, total = 0, 0
+        for f in range(0, 16, 4):
+            gt = episode.faces_at(f)[0].box
+            boxes = d.detect_batch(episode.frames[f][None])[0]
+            total += 1
+            if any(iou_xyxy(b, gt) > 0.5 for b in boxes):
+                hits += 1
+        assert hits >= total - 1  # allow one miss
+
+    @pytest.mark.skipif(not DETECTOR_FILE.exists(), reason="no trained weights")
+    def test_no_faces_on_background(self):
+        from pyannote_video_tpu.utils.synthetic import _background
+
+        rng = np.random.default_rng(5)
+        frame = _background(160, 120, rng).astype(np.uint8)
+        d = det.FaceDetector(threshold=1.0)
+        boxes = d.detect_batch(frame[None])[0]
+        assert len(boxes) <= 1  # background may produce at most noise
+
+
+class TestChip:
+    def test_canonical_layout(self):
+        pts = canonical_chip_landmarks()
+        assert pts.shape == (68, 2)
+        assert pts.min() > 0 and pts.max() < 150
+        # face occupies the middle 2/3 (padding 0.25)
+        assert 20 < pts[:, 0].min() < 60
+
+    def test_chip_transform_roundtrip(self):
+        # landmarks exactly at canonical positions -> identity-ish transform
+        target = canonical_chip_landmarks()
+        m = np.asarray(chip_transforms(jnp.asarray(target[None])))[0]
+        np.testing.assert_allclose(m, [[1, 0, 0], [0, 1, 0]], atol=1e-4)
+
+    def test_extract_chip_shape_and_content(self, episode):
+        obs = episode.faces_at(0)[0]
+        chips = extract_chips(
+            jnp.asarray(episode.frames[:1]),
+            jnp.asarray([0], dtype=jnp.int32),
+            jnp.asarray(obs.landmarks[None]),
+        )
+        assert chips.shape == (1, 150, 150, 3)
+        chip = np.asarray(chips[0])
+        # center of the chip should contain the face (skin tone), not
+        # background — check it differs from the frame corner
+        center = chip[60:90, 60:90].mean(axis=(0, 1))
+        ident = episode.identities[obs.face_id]
+        assert np.abs(center - np.asarray(ident.skin)).mean() < 60
+
+    def test_box_to_landmarks_inside_box(self):
+        boxes = jnp.asarray([[10.0, 20.0, 110.0, 140.0]])
+        lm = np.asarray(box_to_landmarks(boxes))[0]
+        assert lm[:, 0].min() >= 9.0 and lm[:, 0].max() <= 111.0
+        assert lm[:, 1].min() >= 19.0 and lm[:, 1].max() <= 141.0
+
+
+class TestEmbedder:
+    def test_forward_shape_and_determinism(self):
+        p = emb.init_params(jax.random.PRNGKey(0), width=0.25)
+        chips = jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (3, 150, 150, 3)),
+            dtype=jnp.float32,
+        )
+        e1 = np.asarray(emb.embed(p, chips))
+        e2 = np.asarray(emb.embed(p, chips))
+        assert e1.shape == (3, 128)
+        np.testing.assert_array_equal(e1, e2)
+
+    @pytest.mark.skipif(not EMBEDDER_FILE.exists(), reason="no trained weights")
+    def test_identity_separation(self):
+        from pyannote_video_tpu.train import data as tdata
+        from pyannote_video_tpu.models.weights import default_embedder_params
+        from pyannote_video_tpu.ops.distance import pairwise_dist
+
+        rng = np.random.default_rng(11)
+        fresh = tdata.identity_bank(8, seed=4242)  # unseen identities
+        chips, labels = tdata.embedding_batch(rng, fresh, n_ident=4,
+                                              per_ident=3)
+        params = default_embedder_params()
+        e = np.asarray(emb.embed(params, jnp.asarray(chips, jnp.float32)))
+        d = np.asarray(pairwise_dist(jnp.asarray(e)))
+        same = labels[:, None] == labels[None, :]
+        np.fill_diagonal(same, False)
+        diff = ~(labels[:, None] == labels[None, :])
+        assert d[same].mean() < d[diff].mean() * 0.75
+
+
+class TestLandmarks:
+    @pytest.mark.skipif(not LANDMARKS_FILE.exists(), reason="no trained weights")
+    def test_cascade_beats_mean_shape(self, episode):
+        from pyannote_video_tpu.models.landmarks import LandmarkPredictor
+
+        predictor = LandmarkPredictor()
+        obs = episode.faces_at(0)[0]
+        # jitter the box like a noisy detector
+        l, t, r, b = obs.box
+        w, h = r - l, b - t
+        box = np.asarray([[l + 0.04 * w, t - 0.03 * h,
+                           r + 0.02 * w, b + 0.05 * h]], dtype=np.float32)
+        pred = predictor.predict_batch(
+            episode.frames[:1], np.asarray([0]), box
+        )[0]
+        err_cascade = np.linalg.norm(pred - obs.landmarks, axis=1).mean()
+
+        mean_pred = np.asarray(box_to_landmarks(jnp.asarray(box)))[0]
+        err_mean = np.linalg.norm(mean_pred - obs.landmarks, axis=1).mean()
+        assert err_cascade < err_mean * 0.7
+        assert err_cascade < 0.05 * h  # within 5% of face height
+
+    def test_mean_shape_fallback(self, episode):
+        from pyannote_video_tpu.models.landmarks import (
+            LandmarkPredictor,
+            mean_shape_only,
+        )
+
+        predictor = LandmarkPredictor(params=mean_shape_only())
+        box = np.asarray([[40.0, 20.0, 100.0, 100.0]], dtype=np.float32)
+        pred = predictor.predict_batch(episode.frames[:1], np.asarray([0]), box)
+        assert pred.shape == (1, 68, 2)
+
+
+class TestFused:
+    @pytest.mark.skipif(not DETECTOR_FILE.exists(), reason="no trained weights")
+    def test_fused_pipeline_end_to_end(self, episode):
+        from pyannote_video_tpu.models.fused import FusedFacePipeline
+
+        pipe = FusedFacePipeline(max_faces=4)
+        out = pipe(episode.frames[:2])
+        assert out.boxes.shape == (2, 4, 4)
+        assert out.embeddings.shape == (2, 4, 128)
+        valid = np.asarray(out.valid)
+        boxes = np.asarray(out.boxes)
+        # at least one valid face found per frame, overlapping GT
+        for fidx in range(2):
+            gt = episode.faces_at(fidx)[0].box
+            found = [
+                iou_xyxy(boxes[fidx, k], gt)
+                for k in range(4) if valid[fidx, k]
+            ]
+            assert found and max(found) > 0.4
