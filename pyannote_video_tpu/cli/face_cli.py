@@ -1,0 +1,309 @@
+"""pyannote-face CLI: track / extract / demo.
+
+Same commands, flags, defaults, file schemas as the reference
+(`scripts/pyannote-face.py:35-89`):
+
+* ``track``  — shot JSON + video → tracking file (one line per
+  (t, track-id, normalized bbox, status), `pyannote-face.py:116-118`);
+* ``extract`` — tracking file + models → landmarks + embeddings files
+  (`pyannote-face.py:271-314`), batched on TPU per timestamp group;
+* ``demo``   — overlay video with boxes/ids/labels/nose lines
+  (`pyannote-face.py:317-413`); host-side drawing + OpenCV encode
+  (ffmpeg/moviepy-free).
+"""
+
+from __future__ import annotations
+
+import colorsys
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+USAGE = """Face detection and tracking
+
+The standard pipeline is the following
+
+      face tracking => feature extraction => face clustering
+
+Usage:
+  pyannote-face track [options] <video> <shot.json> <tracking>
+  pyannote-face extract [options] <video> <tracking> <landmark_model> <embedding_model> <landmarks> <embeddings>
+  pyannote-face demo [options] <video> <tracking> <output>
+  pyannote-face (-h | --help)
+  pyannote-face --version
+
+General options:
+
+  --ffmpeg=<ffmpeg>         Specify which `ffmpeg` to use.
+  -h --help                 Show this screen.
+  --version                 Show version.
+  --verbose                 Show processing progress.
+
+Face tracking options (track):
+
+  <video>                   Path to video file.
+  <shot.json>               Path to shot segmentation result file.
+  <tracking>                Path to tracking result file.
+
+  --min-size=<ratio>        Approximate size (in video height ratio) of the
+                            smallest face that should be detected. Default is
+                            to try and detect any object [default: 0.0].
+  --every=<seconds>         Only apply detection every <seconds> seconds.
+                            Default is to process every frame [default: 0.0].
+  --min-overlap=<ratio>     Associates face with tracker if overlap is greater
+                            than <ratio> [default: 0.5].
+  --min-confidence=<float>  Reset trackers with confidence lower than <float>
+                            [default: 10.].
+  --max-gap=<float>         Bridge gaps with duration shorter than <float>
+                            [default: 1.].
+
+Feature extraction options (extract):
+
+  <video>                   Path to video file.
+  <tracking>                Path to tracking result file.
+  <landmark_model>          Path to facial landmark detection model (.npz).
+  <embedding_model>         Path to feature extraction model (.npz).
+  <landmarks>               Path to facial landmarks detection result file.
+  <embeddings>              Path to feature extraction result file.
+
+Visualization options (demo):
+
+  <video>                   Path to video file.
+  <tracking>                Path to tracking result file.
+  <output>                  Path to demo video file.
+
+  --height=<pixels>         Height of demo video file [default: 400].
+  --from=<sec>              Encode demo from <sec> seconds [default: 0].
+  --until=<sec>             Encode demo until <sec> seconds.
+  --shift=<sec>             Shift result files by <sec> seconds [default: 0].
+  --landmark=<path>         Path to facial landmarks detection result file.
+  --label=<path>            Path to track identification result file.
+"""
+
+MIN_OVERLAP_RATIO = 0.5
+MIN_CONFIDENCE = 10.0
+MAX_GAP = 1.0
+
+
+def track(video, shot_path, output,
+          detect_min_size=0.0, detect_every=0.0,
+          track_min_overlap_ratio=MIN_OVERLAP_RATIO,
+          track_min_confidence=MIN_CONFIDENCE,
+          track_max_gap=MAX_GAP):
+    """Tracking by detection (reference `pyannote-face.py:239-269`)."""
+    from ..core import Annotation, load, formats
+    from ..pipeline.face_tracking import FaceTracking
+
+    tracking = FaceTracking(detect_min_size=detect_min_size,
+                            detect_every=detect_every,
+                            track_min_overlap_ratio=track_min_overlap_ratio,
+                            track_min_confidence=track_min_confidence,
+                            track_max_gap=track_max_gap)
+
+    with open(shot_path, "r") as fp:
+        shot = load(fp)
+    if isinstance(shot, Annotation):
+        shot = shot.get_timeline()
+
+    with open(output, "w") as foutput:
+        for identifier, trk in enumerate(tracking(video, shot)):
+            for t, (left, top, right, bottom), status in trk:
+                foutput.write(formats.FACE_TEMPLATE.format(
+                    t=t, identifier=identifier, status=status,
+                    left=left, right=right, top=top, bottom=bottom))
+            foutput.flush()
+
+
+def extract(video, landmark_model, embedding_model, tracking_path,
+            landmark_output, embedding_output):
+    """Landmarks + embeddings for tracked faces, batched per timestamp
+    (reference `pyannote-face.py:271-314`)."""
+    import jax.numpy as jnp
+
+    from ..core import formats
+    from ..models.chip import extract_chips
+    from ..models.embedder import FaceEmbedder
+    from ..models.landmarks import LandmarkPredictor
+
+    frame_width, frame_height = video.frame_size
+    points = formats.read_tracking(tracking_path)
+    predictor = LandmarkPredictor(landmark_model or None)
+    embedder = FaceEmbedder(embedding_model or None)
+
+    with open(landmark_output, "w") as flandmark, \
+         open(embedding_output, "w") as fembedding:
+
+        for T, group in formats.iter_tracking_by_time(points):
+            rgb = video(T)
+            boxes = np.asarray(
+                [[p.left * frame_width, p.top * frame_height,
+                  p.right * frame_width, p.bottom * frame_height]
+                 for p in group], dtype=np.float32)
+            landmarks = predictor.predict_batch(
+                rgb[None], np.zeros(len(group), dtype=np.int32), boxes)
+            chips = extract_chips(
+                jnp.asarray(rgb[None]),
+                jnp.zeros((len(group),), dtype=jnp.int32),
+                jnp.asarray(landmarks))
+            embeddings = embedder(chips)
+
+            for p, lm, emb in zip(group, landmarks, embeddings):
+                norm = lm / np.asarray([frame_width, frame_height])
+                formats.write_landmarks_line(flandmark, T, p.identifier, norm)
+                formats.write_embedding_line(fembedding, T, p.identifier, emb)
+            flandmark.flush()
+            fembedding.flush()
+
+
+def _palette(n: int = 26) -> List[tuple]:
+    """n visually-distinct RGB colors (HSV wheel, alternating value)."""
+    colors = []
+    for i in range(n):
+        h = (i * 0.618033988749895) % 1.0
+        v = 0.85 if i % 2 == 0 else 0.6
+        r, g, b = colorsys.hsv_to_rgb(h, 0.85, v)
+        colors.append((int(r * 255), int(g * 255), int(b * 255)))
+    return colors
+
+
+def demo(filename, tracking_path, output, t_start=0.0, t_end=None, shift=0.0,
+         labels_path=None, landmark_path=None, height=200, ffmpeg=None):
+    """Overlay video (reference `pyannote-face.py:317-413`): colored face
+    boxes, #track-id, optional labels and nose lines, timestamp."""
+    import cv2
+
+    from ..core import formats
+    from ..io.video import Video
+
+    labels: Dict[int, str] = (
+        formats.read_labels(labels_path) if labels_path else {}
+    )
+
+    video = Video(filename, ffmpeg=ffmpeg)
+    video_width, video_height = video.size
+    ratio = height / video_height
+    width = int(ratio * video_width)
+    video.frame_size = (width, height)
+
+    points = formats.read_tracking(tracking_path)
+    by_time = list(formats.iter_tracking_by_time(points))
+    landmark_rows = (
+        formats.read_landmarks(landmark_path) if landmark_path else []
+    )
+    lm_by_time: Dict[float, List] = {}
+    for (t, identifier, pts) in landmark_rows:
+        lm_by_time.setdefault(t, []).append((identifier, pts))
+
+    colors = _palette()
+    t_end = video.duration if t_end is None else t_end
+
+    writer = cv2.VideoWriter(
+        output, cv2.VideoWriter_fourcc(*"MJPG"), video.frame_rate,
+        (width, height),
+    )
+    if not writer.isOpened():
+        raise IOError(f"could not open video writer for {output}")
+
+    face_idx = 0
+    current_faces: List = []
+    for t in np.arange(t_start, t_end, 1.0 / video.frame_rate):
+        frame = np.ascontiguousarray(video(t))
+        t_query = t - shift
+        while face_idx < len(by_time) and by_time[face_idx][0] <= t_query:
+            current_faces = by_time[face_idx][1]
+            face_idx += 1
+
+        cv2.putText(frame, f"{t:.3f}", (10, height - 10),
+                    cv2.FONT_HERSHEY_DUPLEX, 0.5, (255, 0, 0), 1, 8, False)
+
+        for p in current_faces:
+            color = colors[p.identifier % len(colors)]
+            pt1 = (int(p.left * width), int(p.top * height))
+            pt2 = (int(p.right * width), int(p.bottom * height))
+            cv2.rectangle(frame, pt1, pt2, color, 2)
+            cv2.putText(frame, f"#{p.identifier:d}", (pt1[0], pt2[1] + 15),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 0, 0), 1, 8,
+                        False)
+            label = labels.get(p.identifier, "")
+            cv2.putText(frame, f"{label:s}", (pt1[0], pt1[1] - 7),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 0, 0), 1, 8,
+                        False)
+            # nose line (landmarks 27 -> 33) when landmarks are available
+            for identifier, pts in lm_by_time.get(p.t, []):
+                if identifier != p.identifier:
+                    continue
+                n1 = (int(pts[27, 0] * width), int(pts[27, 1] * height))
+                n2 = (int(pts[33, 0] * width), int(pts[33, 1] * height))
+                cv2.line(frame, n1, n2, color, 1)
+
+        writer.write(frame[:, :, ::-1])  # RGB -> BGR
+    writer.release()
+
+
+def main(argv=None):
+    from .. import __version__
+    from ..io.video import Video
+    from .args import parse
+
+    arguments = parse(
+        USAGE,
+        version=f"pyannote-face {__version__}",
+        argv=argv,
+        commands=["track", "extract", "demo"],
+        positionals={
+            "track": ["<video>", "<shot.json>", "<tracking>"],
+            "extract": ["<video>", "<tracking>", "<landmark_model>",
+                        "<embedding_model>", "<landmarks>", "<embeddings>"],
+            "demo": ["<video>", "<tracking>", "<output>"],
+        },
+        defaults={
+            "--ffmpeg": "",
+            "--verbose": None,
+            "--min-size": "0.0",
+            "--every": "0.0",
+            "--min-overlap": "0.5",
+            "--min-confidence": "10.",
+            "--max-gap": "1.",
+            "--height": "400",
+            "--from": "0",
+            "--until": "",
+            "--shift": "0",
+            "--landmark": "",
+            "--label": "",
+        },
+    )
+
+    filename = arguments["<video>"]
+    ffmpeg = arguments["--ffmpeg"] or None
+    verbose = bool(arguments["--verbose"])
+
+    if arguments["track"]:
+        video = Video(filename, ffmpeg=ffmpeg, verbose=verbose)
+        track(video, arguments["<shot.json>"], arguments["<tracking>"],
+              detect_min_size=float(arguments["--min-size"]),
+              detect_every=float(arguments["--every"]),
+              track_min_overlap_ratio=float(arguments["--min-overlap"]),
+              track_min_confidence=float(arguments["--min-confidence"]),
+              track_max_gap=float(arguments["--max-gap"]))
+
+    if arguments["extract"]:
+        video = Video(filename, ffmpeg=ffmpeg, verbose=verbose)
+        extract(video, arguments["<landmark_model>"],
+                arguments["<embedding_model>"], arguments["<tracking>"],
+                arguments["<landmarks>"], arguments["<embeddings>"])
+
+    if arguments["demo"]:
+        t_end = arguments["--until"]
+        demo(filename, arguments["<tracking>"], arguments["<output>"],
+             t_start=float(arguments["--from"]),
+             t_end=float(t_end) if t_end else None,
+             shift=float(arguments["--shift"]),
+             labels_path=arguments["--label"] or None,
+             landmark_path=arguments["--landmark"] or None,
+             height=int(arguments["--height"]),
+             ffmpeg=ffmpeg)
+
+
+if __name__ == "__main__":
+    main()

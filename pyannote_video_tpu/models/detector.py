@@ -42,6 +42,10 @@ STRIDE = 8           # total downsampling of the FCN
 PYRAMID_RATIO = 5.0 / 6.0
 DETECT_SMALLEST = WINDOW  # smallest detectable face without upsampling
 TOPK = 32            # candidates per level per frame
+# detection logit threshold: trained faces score 5-8, background noise
+# stays below ~2.5 (MMOD's zero-crossing is too permissive for the
+# regression-head variant)
+DEFAULT_THRESHOLD = 2.5
 
 
 def init_params(key) -> Params:
@@ -146,13 +150,13 @@ class FaceDetector:
         .npz parameter file (defaults to the packaged synthetic-data
         weights if present, else random init).
     threshold : float
-        Detection logit threshold (0 ≙ MMOD's zero-crossing).
+        Detection logit threshold (default 2.5; see DEFAULT_THRESHOLD).
     upsample : int
         Number of 2× upsampling pyramid levels (reference uses 1,
         `face/face.py:66`).
     """
 
-    def __init__(self, model_path: Optional[str] = None, threshold: float = 0.0,
+    def __init__(self, model_path: Optional[str] = None, threshold: float = DEFAULT_THRESHOLD,
                  upsample: int = 0, params: Optional[Params] = None,
                  nms_iou: float = 0.3):
         if params is not None:

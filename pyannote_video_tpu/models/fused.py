@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import detector as det
+from .detector import DEFAULT_THRESHOLD
 from . import embedder as emb
 from .chip import box_to_landmarks, extract_chips
 from .nn import Params
@@ -39,10 +40,11 @@ def _device_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
                 max_out: int):
     """Greedy NMS on device: boxes [K, 4], scores [K] → (boxes, scores,
     valid) with max_out slots.  O(K²) IoU + fori selection, all static."""
-    from ..ops.boxes import iou
+    from ..ops.boxes import iou, overlap_min_ratio
 
     K = boxes.shape[0]
     iou_mat = iou(boxes, boxes)  # [K, K]
+    cont_mat = overlap_min_ratio(boxes, boxes)
     order = jnp.argsort(-scores)
 
     def body(i, state):
@@ -50,8 +52,8 @@ def _device_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
         idx = order[i]
         is_live = jnp.logical_not(suppressed[idx])
         keep_mask = keep_mask.at[idx].set(is_live)
-        # suppress everything overlapping idx (only if idx was kept)
-        overlap = iou_mat[idx] > iou_thresh
+        # suppress everything overlapping or contained in idx (if kept)
+        overlap = (iou_mat[idx] > iou_thresh) | (cont_mat[idx] > 0.7)
         suppressed = jnp.where(is_live, suppressed | overlap, suppressed)
         return suppressed, keep_mask
 
@@ -76,7 +78,7 @@ class FusedFacePipeline:
 
     def __init__(self, detector_params: Optional[Params] = None,
                  embedder_params: Optional[Params] = None,
-                 threshold: float = 0.0, nms_iou: float = 0.3,
+                 threshold: float = DEFAULT_THRESHOLD, nms_iou: float = 0.3,
                  upsample: int = 0, max_faces: int = MAX_FACES):
         from .weights import default_detector_params, default_embedder_params
 

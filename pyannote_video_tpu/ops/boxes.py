@@ -58,9 +58,22 @@ def iou(a, b) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-9)
 
 
+def overlap_min_ratio(a, b) -> jnp.ndarray:
+    """Intersection over the SMALLER box's area — catches contained
+    duplicates (a part-of-face box inside the full-face box) that plain
+    IoU misses."""
+    inter = intersection_area(a, b)
+    min_area = jnp.minimum(box_area(a)[:, None], box_area(b)[None, :])
+    return inter / jnp.maximum(min_area, 1e-9)
+
+
 def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float = 0.4,
-        max_out: int = 64):
+        max_out: int = 64, containment_threshold: float = 0.7):
     """Greedy non-maximum suppression (host-side, tiny candidate sets).
+
+    Suppresses on IoU > iou_threshold OR containment
+    (intersection / min-area) > containment_threshold — multi-scale pyramid
+    detectors produce nested duplicates that IoU alone keeps.
 
     Device-side candidate generation (the detector's score maps) does the
     heavy lifting; by the time NMS runs there are only dozens of boxes.
@@ -72,10 +85,15 @@ def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float = 0.4,
     order = np.argsort(-scores)
     keep = []
     iou_mat = np.asarray(iou(boxes, boxes))
+    cont_mat = np.asarray(overlap_min_ratio(boxes, boxes))
     for i in order:
         if len(keep) >= max_out:
             break
-        if all(iou_mat[i, j] <= iou_threshold for j in keep):
+        if all(
+            iou_mat[i, j] <= iou_threshold
+            and cont_mat[i, j] <= containment_threshold
+            for j in keep
+        ):
             keep.append(int(i))
     return keep
 

@@ -180,20 +180,29 @@ class Thread:
 
     def scenes(self, threads: Annotation) -> Annotation:
         """Group intertwined threads into scenes (reference
-        `thread.py:224-249`): biconnected components of the
-        adjacency+threading graph with ≥ 3 shots share a label."""
-        g = Graph()
-        for shot1, shot2 in pairwise(threads.itertracks()):
-            g.add_edge(shot1, shot2)
-        for label in threads.labels():
-            for shot1, shot2 in pairwise(threads.subset([label]).itertracks()):
-                g.add_edge(shot1, shot2)
+        `thread.py:224-249`)."""
+        return scenes_from_threads(threads)
 
-        scenes = threads.copy()
-        for shots in sorted(sorted(bc) for bc in g.biconnected_components()):
-            if len(shots) < 3:
-                continue
-            common_label = scenes[shots[0]]
-            for shot in shots:
-                scenes[shot] = common_label
-        return scenes
+
+def scenes_from_threads(threads: Annotation) -> Annotation:
+    """Scene grouping: biconnected components of the adjacency+threading
+    graph with ≥ 3 shots share one label (reference `thread.py:224-249`).
+
+    Needs only the thread annotation — this also powers the ``scene`` CLI
+    command the reference left unimplemented (`pyannote-structure.py:86`).
+    """
+    g = Graph()
+    for shot1, shot2 in pairwise(threads.itertracks()):
+        g.add_edge(shot1, shot2)
+    for label in threads.labels():
+        for shot1, shot2 in pairwise(threads.subset([label]).itertracks()):
+            g.add_edge(shot1, shot2)
+
+    scenes = threads.copy()
+    for shots in sorted(sorted(bc) for bc in g.biconnected_components()):
+        if len(shots) < 3:
+            continue
+        common_label = scenes[shots[0]]
+        for shot in shots:
+            scenes[shot] = common_label
+    return scenes

@@ -227,7 +227,7 @@ class TrackingByDetection:
                 # 2) start new trackers for ALL detections
                 #    (`tracking.py:246-259`); a matched detection's new
                 #    tracker CONTINUES the matched track (shared node)
-                alive = alive_np(state)
+                alive = alive_np(state).copy()
                 # free matched slots first (their tracker dies)
                 for slot in matched_slots:
                     alive[slot] = False
@@ -317,7 +317,10 @@ class TrackingByDetection:
         merged: Dict[object, List[Point]] = {}
         for i, trk in enumerate(all_tracks):
             merged.setdefault(uf.find(i), []).extend(trk.points)
-        return list(merged.values())
+        # a detection node shared by the forward and backward passes is ONE
+        # graph node in the reference (`tracking.py:218,255`) — dedupe the
+        # identical (t, box, status) tuples the two passes recorded
+        return [sorted(set(points)) for points in merged.values()]
 
     def _fix(self, track: List[Point]) -> List[Point]:
         """Merge same-timestamp fwd/bwd points (reference `tracking.py:261-296`)."""

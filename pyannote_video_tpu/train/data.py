@@ -107,9 +107,12 @@ def embedding_batch(rng: np.random.Generator,
         params = identities[int(ident)]
         for _ in range(per_ident):
             bg = _background(chip_size, chip_size, rng)
-            cx = chip_size / 2 + rng.uniform(-4, 4)
-            cy = chip_size / 2 + rng.uniform(-4, 4)
-            h = face_h * rng.uniform(0.92, 1.08)
+            # geometric jitter covers realistic landmark-alignment noise
+            # (detector box offset + ERT residual) so downstream chips from
+            # tracked boxes stay inside the invariance envelope
+            cx = chip_size / 2 + rng.uniform(-9, 9)
+            cy = chip_size / 2 + rng.uniform(-9, 9)
+            h = face_h * rng.uniform(0.85, 1.18)
             render_face(bg, cx, cy, h, params)
             gain = rng.uniform(0.8, 1.2)
             bias = rng.uniform(-15, 15)

@@ -234,6 +234,18 @@ def _background(width: int, height: int, rng: np.random.Generator) -> np.ndarray
     # add some blocky texture for ORB keypoints to latch onto
     blocks = rng.uniform(-25, 25, size=(height // 8 + 1, width // 8 + 1, 3))
     img += np.kron(blocks, np.ones((8, 8, 1)))[:height, :width]
+    # high-contrast rectangles: sharp corners that survive resizing, so
+    # FAST/ORB (shot threading) has features to latch onto
+    n_rects = max(12, (height * width) // 1200)
+    for _ in range(n_rects):
+        rw = int(rng.integers(6, max(8, width // 6)))
+        rh = int(rng.integers(6, max(8, height // 6)))
+        x0 = int(rng.integers(0, max(1, width - rw)))
+        y0 = int(rng.integers(0, max(1, height - rh)))
+        color = rng.uniform(0, 255, size=3)
+        img[y0 : y0 + rh, x0 : x0 + rw] = (
+            0.25 * img[y0 : y0 + rh, x0 : x0 + rw] + 0.75 * color
+        )
     return np.clip(img, 0, 255).astype(np.float32)
 
 

@@ -24,6 +24,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
+import jax
+
+# The image's sitecustomize imports jax at interpreter start, snapshotting
+# JAX_PLATFORMS=axon into the config before this file runs — env vars alone
+# are not enough; update the live config.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -71,10 +71,12 @@ class TestDetector:
         from pyannote_video_tpu.utils.synthetic import _background
 
         rng = np.random.default_rng(5)
-        frame = _background(160, 120, rng).astype(np.uint8)
-        d = det.FaceDetector(threshold=1.0)
-        boxes = d.detect_batch(frame[None])[0]
-        assert len(boxes) <= 1  # background may produce at most noise
+        d = det.FaceDetector()  # default threshold
+        false_positives = 0
+        for _ in range(4):
+            frame = _background(160, 120, rng).astype(np.uint8)
+            false_positives += len(d.detect_batch(frame[None])[0])
+        assert false_positives <= 2  # rare noise at the default threshold
 
 
 class TestChip:

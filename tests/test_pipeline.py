@@ -1,0 +1,302 @@
+"""Pipeline-stage tests: tracking, threading, scenes, clustering."""
+
+import numpy as np
+import pytest
+
+from pyannote_video_tpu import Video
+from pyannote_video_tpu.core import Segment, formats
+from pyannote_video_tpu.models.weights import DETECTOR_FILE, EMBEDDER_FILE
+from pyannote_video_tpu.utils.synthetic import synthetic_episode
+
+needs_weights = pytest.mark.skipif(
+    not DETECTOR_FILE.exists(), reason="no trained detector weights"
+)
+
+
+def iou_xyxy(a, b):
+    ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+    ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0, ix1 - ix0) * max(0, iy1 - iy0)
+    union = (
+        (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    )
+    return inter / union if union > 0 else 0.0
+
+
+class TestTracking:
+    @needs_weights
+    def test_tracks_cover_synthetic_faces(self):
+        from pyannote_video_tpu.pipeline.face_tracking import FaceTracking
+
+        ep = synthetic_episode(
+            n_shots=2, shot_frames=12, width=160, height=120, seed=31,
+            face_height_ratio=0.45,
+        )
+        video = Video(ep.frames, fps=ep.fps)
+        shots = [Segment(s, e) for s, e in ep.shots]
+        tracks = list(
+            FaceTracking(detect_every=0.2, track_max_gap=1.0, max_tracks=8)(
+                video, shots
+            )
+        )
+        assert tracks, "no tracks produced"
+
+        # normalized coords in [0, 1]-ish range
+        for trk in tracks:
+            for t, (l, tp, r, b), status in trk:
+                assert -0.3 < l < 1.3 and -0.3 < tp < 1.3
+                assert r > l and b > tp
+
+        # every frame's GT face is covered by some track point
+        hits = 0
+        n_frames = len(ep.frames)
+        for f in range(n_frames):
+            t = f / ep.fps
+            gt = ep.faces_at(f)[0].box
+            gtn = (gt[0] / 160, gt[1] / 120, gt[2] / 160, gt[3] / 120)
+            found = any(
+                abs(tt - t) < 1e-6 and iou_xyxy(box, gtn) > 0.4
+                for trk in tracks
+                for (tt, box, status) in trk
+            )
+            hits += found
+        assert hits >= n_frames - 3
+
+        # no track crosses the shot boundary at 12/25 s
+        for trk in tracks:
+            ts = [p[0] for p in trk]
+            assert max(ts) < 12 / 25.0 or min(ts) >= 12 / 25.0
+
+    @needs_weights
+    def test_statuses_and_ordering(self):
+        from pyannote_video_tpu.pipeline.face_tracking import FaceTracking
+
+        ep = synthetic_episode(
+            n_shots=1, shot_frames=10, width=160, height=120, seed=5,
+            face_height_ratio=0.45,
+        )
+        video = Video(ep.frames, fps=ep.fps)
+        tracks = list(
+            FaceTracking(detect_every=0.2)(video, [Segment(0, 10 / 25.0)])
+        )
+        statuses = {p[2] for trk in tracks for p in trk}
+        # detection points exist; pure-position points carry direction labels
+        assert any("detection" in s for s in statuses)
+        for trk in tracks:
+            ts = [p[0] for p in trk]
+            assert ts == sorted(ts)
+
+    def test_custom_detect_func_compat(self):
+        """The reference detect_func contract (frame → boxes) still works."""
+        from pyannote_video_tpu.pipeline.tracking import TrackingByDetection
+
+        ep = synthetic_episode(
+            n_shots=1, shot_frames=8, width=120, height=96, seed=9,
+            face_height_ratio=0.5,
+        )
+        video = Video(ep.frames, fps=ep.fps)
+
+        def oracle_detect(frame):
+            # find the frame by exact match (test-only oracle)
+            for f in range(len(ep.frames)):
+                if np.array_equal(frame, ep.frames[f]):
+                    return [ep.faces_at(f)[0].box]
+            return []
+
+        tracking = TrackingByDetection(
+            detect_func=oracle_detect, detect_every=0.2
+        )
+        tracks = list(tracking(video, [Segment(0, 8 / 25.0)]))
+        assert len(tracks) == 1
+        assert len(tracks[0]) >= 6
+
+
+class TestThread:
+    def test_alternating_pattern_recovered(self):
+        from pyannote_video_tpu.pipeline.thread import Thread
+
+        ep = synthetic_episode(
+            n_shots=4, shot_frames=12, width=160, height=120, seed=17,
+            thread_pattern=[0, 1, 0, 1], faces_per_shot=0, n_identities=1,
+        )
+        video = Video(ep.frames, fps=ep.fps)
+        shots = [Segment(s, e) for s, e in ep.shots]
+        ann = Thread(video, shot=shots, lookahead=3, min_match=20)()
+        labels = [lab for _, _, lab in ann.itertracks(yield_label=True)]
+        assert labels[0] == labels[2]
+        assert labels[1] == labels[3]
+        assert labels[0] != labels[1]
+
+    def test_distinct_shots_stay_separate(self):
+        from pyannote_video_tpu.pipeline.thread import Thread
+
+        ep = synthetic_episode(
+            n_shots=3, shot_frames=12, width=160, height=120, seed=23,
+            faces_per_shot=0, n_identities=1,
+        )
+        video = Video(ep.frames, fps=ep.fps)
+        shots = [Segment(s, e) for s, e in ep.shots]
+        ann = Thread(video, shot=shots, lookahead=2, min_match=20)()
+        labels = [lab for _, _, lab in ann.itertracks(yield_label=True)]
+        assert len(set(labels)) == 3
+
+    def test_scenes_groups_intertwined_threads(self):
+        from pyannote_video_tpu.pipeline.thread import Thread
+
+        ep = synthetic_episode(
+            n_shots=5, shot_frames=12, width=160, height=120, seed=29,
+            thread_pattern=[0, 1, 0, 1, 2], faces_per_shot=0, n_identities=1,
+        )
+        video = Video(ep.frames, fps=ep.fps)
+        shots = [Segment(s, e) for s, e in ep.shots]
+        th = Thread(video, shot=shots, lookahead=3, min_match=20)
+        ann = th()
+        scenes = th.scenes(ann)
+        # the A/B alternation (shots 0-3) collapses into one scene label
+        labs = {}
+        for seg, trk, lab in scenes.itertracks(yield_label=True):
+            labs[round(seg.start, 2)] = lab
+        starts = sorted(labs)
+        assert labs[starts[0]] == labs[starts[1]] == labs[starts[2]] == labs[starts[3]]
+        assert labs[starts[4]] != labs[starts[0]]
+
+
+class TestClustering:
+    def test_two_identities_separate(self, tmp_path):
+        from pyannote_video_tpu.pipeline.clustering import FaceClustering
+
+        rng = np.random.default_rng(0)
+        centers = {0: rng.normal(0, 0.1, 128),
+                   1: rng.normal(0, 0.1, 128) + 0.12}
+        path = str(tmp_path / "emb.txt")
+        with open(path, "w") as fp:
+            for track in range(6):
+                for k in range(5):
+                    emb = centers[track % 2] + rng.normal(0, 0.02, 128)
+                    formats.write_embedding_line(
+                        fp, track * 1.0 + k * 0.04, track, emb
+                    )
+        clustering = FaceClustering(threshold=0.6)
+        starting_point, features = clustering.model.preprocess(path)
+        result = clustering(starting_point, features=features)
+        labels = {trk: lab for _, trk, lab in result.itertracks(yield_label=True)}
+        assert labels[0] == labels[2] == labels[4]
+        assert labels[1] == labels[3] == labels[5]
+        assert labels[0] != labels[1]
+
+    def test_threshold_stops_merging(self, tmp_path):
+        from pyannote_video_tpu.pipeline.clustering import FaceClustering
+
+        rng = np.random.default_rng(1)
+        path = str(tmp_path / "emb.txt")
+        with open(path, "w") as fp:
+            for track in range(3):
+                center = np.zeros(128)
+                center[track] = 5.0  # mutually distant
+                for k in range(3):
+                    formats.write_embedding_line(
+                        fp, track + 0.04 * k, track,
+                        center + rng.normal(0, 0.01, 128),
+                    )
+        clustering = FaceClustering(threshold=0.6)
+        sp, feats = clustering.model.preprocess(path)
+        result = clustering(sp, features=feats)
+        labels = {trk for _, trk, lab in result.itertracks(yield_label=True)}
+        out_labels = [lab for _, _, lab in result.itertracks(yield_label=True)]
+        assert len(set(out_labels)) == 3  # nothing merged
+
+    def test_force_merges_everything(self, tmp_path):
+        from pyannote_video_tpu.pipeline.clustering import FaceClustering
+
+        rng = np.random.default_rng(2)
+        path = str(tmp_path / "emb.txt")
+        with open(path, "w") as fp:
+            for track in range(3):
+                center = np.zeros(128)
+                center[track] = 5.0
+                # two rows per track: zero-duration track segments are
+                # dropped by preprocess (reference `clustering.py:78-79`)
+                for k in range(2):
+                    formats.write_embedding_line(
+                        fp, float(track) + 0.04 * k, track,
+                        center + rng.normal(0, 0.01, 128),
+                    )
+        clustering = FaceClustering(threshold=0.6, force=True)
+        sp, feats = clustering.model.preprocess(path)
+        result = clustering(sp, features=feats)
+        out_labels = [lab for _, _, lab in result.itertracks(yield_label=True)]
+        assert len(set(out_labels)) == 1
+
+
+@needs_weights
+@pytest.mark.skipif(not EMBEDDER_FILE.exists(), reason="no embedder weights")
+class TestFullChain:
+    def test_shot_track_embed_cluster(self, tmp_path):
+        """The reference's standard pipeline (`pyannote-face.py:29-33`):
+        shots → tracking → embeddings → clustering, chained via stage files.
+        """
+        from pyannote_video_tpu.pipeline.shot import Shot
+        from pyannote_video_tpu.pipeline.face_tracking import FaceTracking
+        from pyannote_video_tpu.pipeline.clustering import FaceClustering
+        from pyannote_video_tpu.models.fused import FusedFacePipeline
+
+        ep = synthetic_episode(
+            n_shots=2, shot_frames=12, width=160, height=120, seed=41,
+            face_height_ratio=0.45, n_identities=1,
+        )
+        video = Video(ep.frames, fps=ep.fps)
+
+        # stage 1: shots
+        shots = list(Shot(video, threshold=2.0))
+        assert len(shots) == 2
+
+        # stage 2: tracking -> tracking file
+        tracking_path = str(tmp_path / "tracking.txt")
+        with open(tracking_path, "w") as fp:
+            tracking = FaceTracking(detect_every=0.2, track_max_gap=1.0)
+            for identifier, track in enumerate(tracking(video, shots)):
+                for t, (l, tp, r, b), status in track:
+                    formats.write_track_point(
+                        fp,
+                        formats.TrackPoint(t, identifier, l, tp, r, b, status),
+                    )
+        points = formats.read_tracking(tracking_path)
+        assert points
+
+        # stage 3: embeddings per tracked face — landmark-aligned chips,
+        # the reference's extract path (`pyannote-face.py:294-311`)
+        emb_path = str(tmp_path / "emb.txt")
+        from pyannote_video_tpu.models.chip import extract_chips
+        from pyannote_video_tpu.models.landmarks import LandmarkPredictor
+        from pyannote_video_tpu.models import embedder as memb
+        from pyannote_video_tpu.models.weights import default_embedder_params
+        import jax.numpy as jnp
+
+        eparams = default_embedder_params()
+        predictor = LandmarkPredictor()
+        with open(emb_path, "w") as fp:
+            for t, group in formats.iter_tracking_by_time(points):
+                f = int(round(t * ep.fps))
+                boxes = np.asarray(
+                    [[p.left * 160, p.top * 120, p.right * 160, p.bottom * 120]
+                     for p in group], dtype=np.float32,
+                )
+                lms = predictor.predict_batch(
+                    ep.frames[f][None], np.zeros(len(group), dtype=np.int32),
+                    boxes,
+                )
+                chips = extract_chips(
+                    jnp.asarray(ep.frames[f][None]),
+                    jnp.zeros((len(group),), dtype=jnp.int32),
+                    jnp.asarray(lms),
+                )
+                embs = np.asarray(memb.embed(eparams, chips))
+                for p, e in zip(group, embs):
+                    formats.write_embedding_line(fp, t, p.identifier, e)
+
+        # stage 4: clustering — same single identity everywhere
+        clustering = FaceClustering(threshold=0.6)
+        sp, feats = clustering.model.preprocess(emb_path)
+        result = clustering(sp, features=feats)
+        out_labels = [lab for _, _, lab in result.itertracks(yield_label=True)]
+        assert len(set(out_labels)) == 1, f"expected one cluster, got {out_labels}"
