@@ -8,10 +8,11 @@ converted and resized in one fused XLA program, keeping data on device.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ITU-R BT.601 luma — matches cv2.COLOR_RGB2GRAY (see utils/imops.py).
 _LUMA = jnp.asarray([0.299, 0.587, 0.114], dtype=jnp.float32)
@@ -26,22 +27,43 @@ def to_gray(frames: jnp.ndarray) -> jnp.ndarray:
     return jnp.tensordot(frames.astype(jnp.float32), _LUMA, axes=([-1], [0]))
 
 
+@lru_cache(maxsize=256)
+def _interp_taps(n_in: int, n_out: int):
+    """2-tap bilinear resampling plan: (idx0 [n_out], idx1 [n_out],
+    w [n_out]) with OpenCV pixel-center convention, edge-clamped."""
+    xs = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    xs = np.clip(xs, 0.0, n_in - 1.0)
+    x0 = np.floor(xs).astype(np.int32)
+    x1 = np.minimum(x0 + 1, n_in - 1).astype(np.int32)
+    w = (xs - x0).astype(np.float32)
+    return x0, x1, w
+
+
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_bilinear(frames: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear resize of ``[B, H, W]`` or ``[B, H, W, C]`` batches.
 
-    antialias=False matches OpenCV INTER_LINEAR (the reference's resize),
-    which does not low-pass when downscaling.
+    TPU-first formulation: separable 2-tap row/column resampling — one
+    whole-row gather + weighted add per axis.  The index/weight constants
+    are O(out_dim) (pixel-level gather maps and dense interpolation
+    matrices both blew up compile or run time).  No antialiasing, matching
+    OpenCV INTER_LINEAR (the reference's resize).
     """
-    if frames.ndim == 3:
-        shape = (frames.shape[0], out_h, out_w)
-    elif frames.ndim == 4:
-        shape = (frames.shape[0], out_h, out_w, frames.shape[3])
-    else:
+    if frames.ndim not in (3, 4):
         raise ValueError(f"expected [B,H,W] or [B,H,W,C], got {frames.shape}")
-    return jax.image.resize(
-        frames.astype(jnp.float32), shape, method="linear", antialias=False
-    )
+    x = frames.astype(jnp.float32)
+    H, W = x.shape[1], x.shape[2]
+
+    y0, y1, wy = _interp_taps(H, out_h)
+    wy_b = jnp.asarray(wy).reshape((1, out_h) + (1,) * (x.ndim - 2))
+    x = (jnp.take(x, jnp.asarray(y0), axis=1) * (1.0 - wy_b)
+         + jnp.take(x, jnp.asarray(y1), axis=1) * wy_b)
+
+    x0, x1, wx = _interp_taps(W, out_w)
+    wx_b = jnp.asarray(wx).reshape((1, 1, out_w) + (1,) * (x.ndim - 3))
+    x = (jnp.take(x, jnp.asarray(x0), axis=2) * (1.0 - wx_b)
+         + jnp.take(x, jnp.asarray(x1), axis=2) * wx_b)
+    return x
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))

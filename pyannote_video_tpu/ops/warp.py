@@ -79,14 +79,52 @@ def gather_affine_warp(images: jnp.ndarray, frame_idx: jnp.ndarray,
 
     images [T, H, W, C], frame_idx [N] int32, matrices [N, 2, 3]
     → [N, out_h, out_w, C].  This is the detect→align→embed glue: many faces
-    per frame batch, each with its own alignment transform.  The per-face
-    frame gather is hoisted out of the warp vmap (one contiguous take
-    instead of N dynamic gathers inside the batched program).
+    per frame batch, each with its own alignment transform.
+
+    Implementation: ONE flat gather over the whole frame tensor — global
+    index ``fi·H·W + y·W + x`` — so no per-face frame copies are ever
+    materialized (a naive ``jnp.take(images, frame_idx)`` would build an
+    [N, H, W, C] tensor: gigabytes for a 720p batch).
     """
-    selected = jnp.take(images, frame_idx, axis=0)  # [N, H, W, C]
-    return jax.vmap(lambda im, m: affine_warp(im, m, out_h, out_w))(
-        selected, matrices
-    )
+    T, H, W = images.shape[0], images.shape[1], images.shape[2]
+    C = images.shape[3]
+    flat = images.reshape(T * H * W, C).astype(jnp.float32)
+
+    ys_o, xs_o = jnp.mgrid[0:out_h, 0:out_w]
+    ys_o = ys_o.astype(jnp.float32).reshape(-1)   # [P]
+    xs_o = xs_o.astype(jnp.float32).reshape(-1)
+
+    # output-pixel → input coords per face: [N, P]
+    in_x = (matrices[:, 0, 0, None] * xs_o[None]
+            + matrices[:, 0, 1, None] * ys_o[None]
+            + matrices[:, 0, 2, None])
+    in_y = (matrices[:, 1, 0, None] * xs_o[None]
+            + matrices[:, 1, 1, None] * ys_o[None]
+            + matrices[:, 1, 2, None])
+    in_x = jnp.clip(in_x, 0.0, W - 1.0)
+    in_y = jnp.clip(in_y, 0.0, H - 1.0)
+
+    x0 = jnp.floor(in_x).astype(jnp.int32)
+    y0 = jnp.floor(in_y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = (in_x - x0.astype(jnp.float32))[..., None]
+    wy = (in_y - y0.astype(jnp.float32))[..., None]
+
+    base = (frame_idx.astype(jnp.int32) * (H * W))[:, None]  # [N, 1]
+
+    def take(yy, xx):
+        idx = (base + yy * W + xx).reshape(-1)
+        return jnp.take(flat, idx, axis=0).reshape(in_x.shape + (C,))
+
+    v00 = take(y0, x0)
+    v01 = take(y0, x1)
+    v10 = take(y1, x0)
+    v11 = take(y1, x1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    out = top * (1 - wy) + bot * wy
+    return out.reshape(frame_idx.shape[0], out_h, out_w, C)
 
 
 def similarity_from_points(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:

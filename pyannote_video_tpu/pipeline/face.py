@@ -127,14 +127,12 @@ class Face:
 
         if self._embedder is None:
             from ..models.embedder import FaceEmbedder
+            from ..models.weights import default_embedder_params
 
-            self._embedder = FaceEmbedder(self._embedding_path) \
-                if self._embedding_path else FaceEmbedder(
-                    params=__import__(
-                        "pyannote_video_tpu.models.weights",
-                        fromlist=["default_embedder_params"],
-                    ).default_embedder_params()
-                )
+            if self._embedding_path:
+                self._embedder = FaceEmbedder(self._embedding_path)
+            else:
+                self._embedder = FaceEmbedder(params=default_embedder_params())
         chips = extract_chips(
             jnp.asarray(np.asarray(rgb)[None]),
             jnp.asarray([0], dtype=jnp.int32),
