@@ -285,6 +285,48 @@ class FFmpegPipeSource(FrameSource):
         self._pos = index + 1
         return frame
 
+    def sequential_batches(self, batch_size: int, start_index: int = 0,
+                           end_index: Optional[int] = None):
+        """Stream [B, H, W, 3] uint8 batches via the native ring-buffer
+        reader (native/framefeed.c): the pipe drains on a GIL-free thread,
+        overlapping ffmpeg decode with downstream work.  Falls back to the
+        synchronous reader when the extension is unavailable.
+        """
+        from .framefeed import load
+
+        w, h = self.size
+        end_index = self.nframes if end_index is None else end_index
+        self._spawn(start_index / self.fps if start_index else 0.0)
+        self._pos = start_index
+
+        feeder_mod = load()
+        frame_bytes = 3 * w * h
+        index = start_index
+        if feeder_mod is not None:
+            reader = feeder_mod.Reader(self._proc.stdout.fileno(),
+                                       frame_bytes, 64)
+            try:
+                while index < end_index:
+                    n = min(batch_size, end_index - index)
+                    out = np.empty((n, h, w, 3), dtype=np.uint8)
+                    got = reader.read_batch(out, n)
+                    if got == 0:
+                        break
+                    yield index, out[:got]
+                    index += got
+            finally:
+                reader.close()
+        else:
+            while index < end_index:
+                n = min(batch_size, end_index - index)
+                frames = []
+                for _ in range(n):
+                    frames.append(self._read_next())
+                    self._pos += 1
+                yield index, np.stack(frames)
+                index += n
+        self._pos = index
+
     def close(self) -> None:
         if getattr(self, "_proc", None) is not None:
             self._proc.terminate()

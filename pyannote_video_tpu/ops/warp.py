@@ -39,10 +39,17 @@ def bilinear_sample(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp
     wy = (ys - y0.astype(ys.dtype))[:, None]
     wx = (xs - x0.astype(xs.dtype))[:, None]
 
-    v00 = jnp.take(flat, y0 * W + x0, axis=0)
-    v01 = jnp.take(flat, y0 * W + x1, axis=0)
-    v10 = jnp.take(flat, y1 * W + x0, axis=0)
-    v11 = jnp.take(flat, y1 * W + x1, axis=0)
+    # optimization_barrier: keep the index math out of the gather fusion
+    # (Mosaic lowers fused-index gathers as scalar loops; see
+    # gather_affine_warp)
+    i00 = jax.lax.optimization_barrier(y0 * W + x0)
+    i01 = jax.lax.optimization_barrier(y0 * W + x1)
+    i10 = jax.lax.optimization_barrier(y1 * W + x0)
+    i11 = jax.lax.optimization_barrier(y1 * W + x1)
+    v00 = jnp.take(flat, i00, axis=0)
+    v01 = jnp.take(flat, i01, axis=0)
+    v10 = jnp.take(flat, i10, axis=0)
+    v11 = jnp.take(flat, i11, axis=0)
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     out = top * (1 - wy) + bot * wy  # [P, C]
@@ -115,6 +122,10 @@ def gather_affine_warp(images: jnp.ndarray, frame_idx: jnp.ndarray,
 
     def take(yy, xx):
         idx = (base + yy * W + xx).reshape(-1)
+        # break producer fusion: XLA otherwise fuses the index arithmetic
+        # into the gather, which Mosaic lowers as a scalar loop (~100×
+        # slower than a materialized-index gather)
+        idx = jax.lax.optimization_barrier(idx)
         return jnp.take(flat, idx, axis=0).reshape(in_x.shape + (C,))
 
     v00 = take(y0, x0)
