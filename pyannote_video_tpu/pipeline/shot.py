@@ -52,9 +52,16 @@ class Shot:
 
     def __init__(self, video: Video, height: int = 50, context: float = 2.0,
                  threshold: float = 1.0, radius: int = 3, block: int = 5,
-                 batch_size: int = 256, pad_mode: str = "reflect"):
+                 batch_size: int = 256, pad_mode: str = "reflect",
+                 method: str = "block"):
         self.video = video
         self.pad_mode = pad_mode
+        # "block": fused block-matching DFD (default, fastest).
+        # "farneback": dense-flow-compensated residual — the reference's
+        # exact formulation (`shot.py:75-99`) via ops/flow.py.
+        if method not in ("block", "farneback"):
+            raise ValueError(f"unknown DFD method: {method}")
+        self.method = method
         self.height = height
         self.context = context
         self.threshold = threshold
@@ -91,7 +98,12 @@ class Shot:
             else:
                 pair_ts = ts[1:]
             if gray.shape[0] >= 2:
-                d = dfd_series(gray, radius=self.radius, block=self.block)
+                if self.method == "farneback":
+                    from ..ops.flow import dfd_series_farneback
+
+                    d = dfd_series_farneback(gray)
+                else:
+                    d = dfd_series(gray, radius=self.radius, block=self.block)
                 dfd_out.append(np.asarray(d))
                 ts_out.append(np.asarray(pair_ts))
             carry_frame = np.asarray(gray[-1])
