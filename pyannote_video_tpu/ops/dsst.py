@@ -43,11 +43,17 @@ PSR_WINDOW = 5         # half-size of the peak exclusion window for PSR
 
 
 class TrackState(NamedTuple):
-    pos: jnp.ndarray    # [N, 2] center (cy, cx) in frame pixels
-    size: jnp.ndarray   # [N, 2] (h, w) in frame pixels
-    num: jnp.ndarray    # [N, P, Pr] complex64 — filter numerator A
-    den: jnp.ndarray    # [N, P, Pr] float32  — filter denominator B
-    alive: jnp.ndarray  # [N] bool
+    """Filter state is stored as float32 re/im pairs rather than complex64:
+    the axon TPU backend cannot select/transfer complex buffers, and float
+    state keeps the scan carry and host round-trips dtype-safe.  Complex
+    values exist only transiently between rfft2 and irfft2 inside a step."""
+
+    pos: jnp.ndarray     # [N, 2] center (cy, cx) in frame pixels
+    size: jnp.ndarray    # [N, 2] (h, w) in frame pixels
+    num_re: jnp.ndarray  # [N, P, Pr] float32 — Re(filter numerator A)
+    num_im: jnp.ndarray  # [N, P, Pr] float32 — Im(A)
+    den: jnp.ndarray     # [N, P, Pr] float32 — filter denominator B
+    alive: jnp.ndarray   # [N] bool
 
 
 def _rfft_shape() -> Tuple[int, int]:
@@ -59,7 +65,8 @@ def init_state(n_slots: int) -> TrackState:
     return TrackState(
         pos=jnp.zeros((n_slots, 2), dtype=jnp.float32),
         size=jnp.ones((n_slots, 2), dtype=jnp.float32),
-        num=jnp.zeros((n_slots, P, pr), dtype=jnp.complex64),
+        num_re=jnp.zeros((n_slots, P, pr), dtype=jnp.float32),
+        num_im=jnp.zeros((n_slots, P, pr), dtype=jnp.float32),
         den=jnp.zeros((n_slots, P, pr), dtype=jnp.float32),
         alive=jnp.zeros((n_slots,), dtype=bool),
     )
@@ -131,6 +138,8 @@ def start_tracks(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
 
     F = jax.vmap(lambda p, s: _slot_fft(gray, p, s, hann))(pos, size)
     num = G[None] * jnp.conj(F)
+    num_re = num.real
+    num_im = num.imag
     den = (F * jnp.conj(F)).real
 
     def scatter(field, updates):
@@ -144,7 +153,8 @@ def start_tracks(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     return TrackState(
         pos=scatter(state.pos, pos),
         size=scatter(state.size, size),
-        num=scatter(state.num, num),
+        num_re=scatter(state.num_re, num_re),
+        num_im=scatter(state.num_im, num_im),
         den=scatter(state.den, den),
         alive=scatter(state.alive, mask),
     )
@@ -163,11 +173,12 @@ def step(state: TrackState, gray: jnp.ndarray,
     G = _gaussian_target_fft()
     scale_steps = jnp.asarray(SCALE_STEPS, dtype=jnp.float32)
 
-    def one(pos, size, num, den, alive):
+    def one(pos, size, num_re, num_im, den, alive):
         patches = jax.vmap(
             lambda rs: _features(_extract_patch(gray, pos, size, rs), hann)
         )(scale_steps)
         Fz = jnp.fft.rfft2(patches)
+        num = jax.lax.complex(num_re, num_im)
         resp = jnp.fft.irfft2(Fz * num[None] / (den[None] + LAMBDA), s=(P, P))
 
         flat_idx = jnp.argmax(resp.reshape(-1))
@@ -196,18 +207,22 @@ def step(state: TrackState, gray: jnp.ndarray,
         new_size = jnp.maximum(size * rel, 4.0)
 
         Fn = _slot_fft(gray, new_pos, new_size, hann)
-        new_num = (1.0 - ETA) * num + ETA * (G * jnp.conj(Fn))
+        upd = G * jnp.conj(Fn)
+        new_num_re = (1.0 - ETA) * num_re + ETA * upd.real
+        new_num_im = (1.0 - ETA) * num_im + ETA * upd.imag
         new_den = (1.0 - ETA) * den + ETA * (Fn * jnp.conj(Fn)).real
 
         pos_o = jnp.where(alive, new_pos, pos)
         size_o = jnp.where(alive, new_size, size)
-        num_o = jnp.where(alive, new_num, num)
+        num_re_o = jnp.where(alive, new_num_re, num_re)
+        num_im_o = jnp.where(alive, new_num_im, num_im)
         den_o = jnp.where(alive, new_den, den)
         conf = jnp.where(alive, psr, -jnp.inf)
-        return pos_o, size_o, num_o, den_o, conf
+        return pos_o, size_o, num_re_o, num_im_o, den_o, conf
 
-    pos, size, num, den, conf = jax.vmap(one)(
-        state.pos, state.size, state.num, state.den, state.alive
+    pos, size, num_re, num_im, den, conf = jax.vmap(one)(
+        state.pos, state.size, state.num_re, state.num_im, state.den,
+        state.alive
     )
     alive = state.alive & (conf >= min_confidence)
     boxes = jnp.stack(
@@ -215,7 +230,7 @@ def step(state: TrackState, gray: jnp.ndarray,
          pos[:, 1] + size[:, 1] / 2, pos[:, 0] + size[:, 0] / 2],
         axis=1,
     )
-    return TrackState(pos, size, num, den, alive), boxes, conf
+    return TrackState(pos, size, num_re, num_im, den, alive), boxes, conf
 
 
 @partial(jax.jit, static_argnames=())
