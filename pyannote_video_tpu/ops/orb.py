@@ -200,3 +200,21 @@ def count_ratio_matches(desc1, valid1, desc2, valid2,
     best, second = hamming_2nn(desc1, valid1, desc2, valid2)
     ok = (best < ratio * second) & jnp.isfinite(best)
     return int(jnp.sum(ok))
+
+
+@jax.jit
+def batched_ratio_matches(desc1: jnp.ndarray, valid1: jnp.ndarray,
+                          desc2: jnp.ndarray, valid2: jnp.ndarray,
+                          ratio: float = 0.7) -> jnp.ndarray:
+    """Match counts for MANY descriptor pairs in one program.
+
+    desc [Q, K, 256], valid [Q, K] → counts [Q] int32.  Used by shot
+    threading to score every (shot, shot+k) pair in one dispatch instead of
+    one device round-trip per pair (`pipeline/thread.py`).
+    """
+    def one(d1, v1, d2, v2):
+        best, second = hamming_2nn(d1, v1, d2, v2)
+        ok = (best < ratio * second) & jnp.isfinite(best)
+        return jnp.sum(ok).astype(jnp.int32)
+
+    return jax.vmap(one)(desc1, valid1, desc2, valid2)

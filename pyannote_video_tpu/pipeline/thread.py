@@ -148,21 +148,48 @@ class Thread:
         graph = Graph()
         graph.add_nodes_from(shots)
 
-        generator = product_lookahead(shots, self.lookahead)
+        # collect every lookahead pair, then score ALL pairs in chunked
+        # batched programs (one device dispatch per chunk instead of one
+        # per pair — the reference FLANN-matches pair by pair,
+        # `thread.py:198-203`)
+        pairs = list(product_lookahead(shots, self.lookahead))
+        scorable = []
+        for current, following in pairs:
+            f1 = self._orb_at(current.end - collar)
+            f2 = self._orb_at(following.start + collar)
+            if f1 is None or f2 is None:
+                continue
+            if int(f1[1].sum()) < 2 or int(f2[1].sum()) < 2:
+                continue
+            scorable.append((current, following, f1, f2))
+
+        iterator = range(0, len(scorable), 64)
         if self.verbose:
             from tqdm import tqdm
 
-            generator = tqdm(iterable=generator,
-                             total=len(shots) * self.lookahead,
-                             leave=True, mininterval=1.0,
-                             unit="shot pairs", unit_scale=True)
+            iterator = tqdm(iterable=iterator, leave=True, mininterval=1.0,
+                            unit="pair chunks", unit_scale=True)
 
-        for current, following in generator:
-            orb_last = self._orb_at(current.end - collar)
-            orb_first = self._orb_at(following.start + collar)
-            n_matches = self._match(orb_last, orb_first)
-            if n_matches > self.min_match:
-                graph.add_edge(current, following)
+        import jax.numpy as jnp
+
+        from ..ops.orb import batched_ratio_matches
+
+        for start in iterator:
+            chunk = scorable[start : start + 64]
+            # pad the final chunk so every dispatch compiles once
+            pad = 64 - len(chunk)
+            d1 = jnp.stack([c[2][0] for c in chunk]
+                           + [chunk[-1][2][0]] * pad)
+            v1 = jnp.stack([c[2][1] for c in chunk]
+                           + [chunk[-1][2][1]] * pad)
+            d2 = jnp.stack([c[3][0] for c in chunk]
+                           + [chunk[-1][3][0]] * pad)
+            v2 = jnp.stack([c[3][1] for c in chunk]
+                           + [chunk[-1][3][1]] * pad)
+            counts = np.asarray(batched_ratio_matches(d1, v1, d2, v2))
+            for (current, following, _, _), n_matches in zip(chunk, counts):
+                if int(n_matches) > self.min_match:
+                    graph.add_edge(current, following)
         return graph
 
     def __call__(self) -> Annotation:

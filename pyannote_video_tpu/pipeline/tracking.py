@@ -111,7 +111,9 @@ class TrackingByDetection:
                  track_min_confidence: float = 10.0,
                  track_min_overlap_ratio: float = 0.3,
                  track_max_gap: float = 0.0,
-                 max_tracks: int = 16):
+                 max_tracks: int = 16,
+                 max_shot_frames: int = 2000):
+        self.max_shot_frames = max_shot_frames
         self.detect_func = detect_func
         self.detect_smallest = detect_smallest
         self.detect_min_size = detect_min_size
@@ -429,6 +431,21 @@ class TrackingByDetection:
                     shot_frames, shot_ts = [], []
                 shot_frames.append(frame)
                 shot_ts.append(t)
+
+                # memory cap: force-split pathological shots (the reference
+                # caches unbounded shots in RAM, `tracking.py:420`); tracks
+                # break at the split, like at a shot boundary
+                if len(shot_frames) >= self.max_shot_frames:
+                    warnings.warn(
+                        f"shot exceeds {self.max_shot_frames} frames; "
+                        "splitting for memory (tracks break at the split)"
+                    )
+                    for track in self._process_shot(
+                        np.asarray(shot_frames), np.asarray(shot_ts), fps
+                    ):
+                        yield self._normalize_track(track, frame_width,
+                                                    frame_height)
+                    shot_frames, shot_ts = [], []
 
             for track in self._process_shot(
                 np.asarray(shot_frames), np.asarray(shot_ts), fps
