@@ -103,7 +103,11 @@ class Shot:
 
                     d = dfd_series_farneback(gray)
                 else:
-                    d = dfd_series(gray, radius=self.radius, block=self.block)
+                    # hand-written Pallas kernel on TPU, XLA elsewhere
+                    from ..ops.dfd_pallas import dfd_series_auto
+
+                    d = dfd_series_auto(gray, radius=self.radius,
+                                        block=self.block)
                 dfd_out.append(np.asarray(d))
                 ts_out.append(np.asarray(pair_ts))
             carry_frame = np.asarray(gray[-1])
