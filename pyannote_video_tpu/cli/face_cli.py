@@ -57,6 +57,10 @@ Face tracking options (track):
                             [default: 10.].
   --max-gap=<float>         Bridge gaps with duration shorter than <float>
                             [default: 1.].
+  --resume                  Resume an interrupted run from the last fully
+                            tracked shot in <tracking> (extension; shots are
+                            independent work units so per-shot restart is
+                            exact).
 
 Feature extraction options (extract):
 
@@ -90,8 +94,16 @@ def track(video, shot_path, output,
           detect_min_size=0.0, detect_every=0.0,
           track_min_overlap_ratio=MIN_OVERLAP_RATIO,
           track_min_confidence=MIN_CONFIDENCE,
-          track_max_gap=MAX_GAP):
-    """Tracking by detection (reference `pyannote-face.py:239-269`)."""
+          track_max_gap=MAX_GAP, resume=False):
+    """Tracking by detection (reference `pyannote-face.py:239-269`).
+
+    With ``resume=True``, restarts from the shot containing the last
+    written timestamp: shots are independent work units
+    (`tracking.py:408-417`), so completed shots are kept verbatim and the
+    interrupted shot is re-tracked.
+    """
+    import os
+
     from ..core import Annotation, load, formats
     from ..pipeline.face_tracking import FaceTracking
 
@@ -105,9 +117,32 @@ def track(video, shot_path, output,
         shot = load(fp)
     if isinstance(shot, Annotation):
         shot = shot.get_timeline()
+    shots = list(shot)
 
-    with open(output, "w") as foutput:
-        for identifier, trk in enumerate(tracking(video, shot)):
+    next_id = 0
+    if resume and os.path.exists(output):
+        points = formats.read_tracking(output)
+        if points:
+            t_last = max(p.t for p in points)
+            start_idx = len(shots)
+            for i, seg in enumerate(shots):
+                if seg.start <= t_last < seg.end:
+                    start_idx = i
+                    break
+            restart_t = (shots[start_idx].start
+                         if start_idx < len(shots) else float("inf"))
+            keep = [p for p in points if p.t < restart_t]
+            with open(output, "w") as fp:
+                for p in keep:
+                    formats.write_track_point(fp, p)
+            next_id = max((p.identifier for p in keep), default=-1) + 1
+            shots = shots[start_idx:]
+            if shots:
+                video.start = max(video.start, shots[0].start)
+
+    with open(output, "a" if resume else "w") as foutput:
+        for offset, trk in enumerate(tracking(video, shots)):
+            identifier = next_id + offset
             for t, (left, top, right, bottom), status in trk:
                 foutput.write(formats.FACE_TEMPLATE.format(
                     t=t, identifier=identifier, status=status,
@@ -265,6 +300,7 @@ def main(argv=None):
             "--min-overlap": "0.5",
             "--min-confidence": "10.",
             "--max-gap": "1.",
+            "--resume": None,
             "--height": "400",
             "--from": "0",
             "--until": "",
@@ -285,7 +321,8 @@ def main(argv=None):
               detect_every=float(arguments["--every"]),
               track_min_overlap_ratio=float(arguments["--min-overlap"]),
               track_min_confidence=float(arguments["--min-confidence"]),
-              track_max_gap=float(arguments["--max-gap"]))
+              track_max_gap=float(arguments["--max-gap"]),
+              resume=bool(arguments["--resume"]))
 
     if arguments["extract"]:
         video = Video(filename, ffmpeg=ffmpeg, verbose=verbose)

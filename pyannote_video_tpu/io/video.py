@@ -434,8 +434,14 @@ class Video:
         return self.iterframes(with_time=True)
 
     def timestamps(self) -> np.ndarray:
-        """The iteration time grid (reference: `video.py:432`)."""
-        return np.arange(self.start, self.end, self.step)
+        """The iteration time grid (reference: `video.py:432`).
+
+        Index-based rather than ``np.arange(start, end, step)``: float
+        accumulation in arange can admit a phantom frame at the tail when
+        ``start`` is nonzero (e.g. resumed runs).
+        """
+        n = int(np.ceil((self.end - self.start) / self.step - 1e-9))
+        return self.start + self.step * np.arange(max(n, 0))
 
     def iterframes(self, with_time=False, with_context=False, context=1):
         """Iterate over frames as (H, W, 3) RGB uint8 arrays.
