@@ -94,7 +94,7 @@ def track(video, shot_path, output,
           detect_min_size=0.0, detect_every=0.0,
           track_min_overlap_ratio=MIN_OVERLAP_RATIO,
           track_min_confidence=MIN_CONFIDENCE,
-          track_max_gap=MAX_GAP, resume=False):
+          track_max_gap=MAX_GAP, resume=False, verbose=False):
     """Tracking by detection (reference `pyannote-face.py:239-269`).
 
     With ``resume=True``, restarts from the shot containing the last
@@ -140,6 +140,9 @@ def track(video, shot_path, output,
             if shots:
                 video.start = max(video.start, shots[0].start)
 
+    from ..utils.profiling import StageStats
+
+    stats = StageStats("track")
     with open(output, "a" if resume else "w") as foutput:
         for offset, trk in enumerate(tracking(video, shots)):
             identifier = next_id + offset
@@ -147,7 +150,10 @@ def track(video, shot_path, output,
                 foutput.write(formats.FACE_TEMPLATE.format(
                     t=t, identifier=identifier, status=status,
                     left=left, right=right, top=top, bottom=bottom))
+            stats.add(n=len(trk), tracks=1)
             foutput.flush()
+    if verbose:
+        print(stats.finish(), file=sys.stderr)
 
 
 def extract(video, landmark_model, embedding_model, tracking_path,
@@ -322,7 +328,7 @@ def main(argv=None):
               track_min_overlap_ratio=float(arguments["--min-overlap"]),
               track_min_confidence=float(arguments["--min-confidence"]),
               track_max_gap=float(arguments["--max-gap"]),
-              resume=bool(arguments["--resume"]))
+              resume=bool(arguments["--resume"]), verbose=verbose)
 
     if arguments["extract"]:
         video = Video(filename, ffmpeg=ffmpeg, verbose=verbose)
