@@ -170,6 +170,30 @@ class FaceDetector:
         self.threshold = threshold
         self.upsample = upsample
         self.nms_iou = nms_iou
+        self._pyramid_fns = {}
+
+    def _pyramid_fn(self, H: int, W: int):
+        """One jitted program per input shape covering ALL pyramid levels —
+        a per-level dispatch would pay the device-call latency ×15."""
+        key = (H, W)
+        if key not in self._pyramid_fns:
+            level_dims = [
+                (max(STRIDE * 2, int(round(H * s))),
+                 max(STRIDE * 2, int(round(W * s))), s)
+                for s in pyramid_scales(H, W, upsample=self.upsample)
+            ]
+
+            @jax.jit
+            def run(params, frames):
+                ss, bb = [], []
+                for (lh, lw, s) in level_dims:
+                    sc, bx = _level_candidates(params, frames, lh, lw, s)
+                    ss.append(sc)
+                    bb.append(bx)
+                return jnp.concatenate(ss, axis=1), jnp.concatenate(bb, axis=1)
+
+            self._pyramid_fns[key] = run
+        return self._pyramid_fns[key]
 
     def detect_batch(self, frames: np.ndarray) -> List[List[Tuple[float, float, float, float]]]:
         """Detect faces in a frame batch [B, H, W, 3] uint8.
@@ -180,16 +204,9 @@ class FaceDetector:
         """
         frames_j = jnp.asarray(frames, dtype=jnp.float32)
         B, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
-        all_scores = []
-        all_boxes = []
-        for scale in pyramid_scales(H, W, upsample=self.upsample):
-            lh = max(STRIDE * 2, int(round(H * scale)))
-            lw = max(STRIDE * 2, int(round(W * scale)))
-            s, b = _level_candidates(self.params, frames_j, lh, lw, scale)
-            all_scores.append(np.asarray(s))
-            all_boxes.append(np.asarray(b))
-        scores = np.concatenate(all_scores, axis=1)   # [B, K_total]
-        boxes = np.concatenate(all_boxes, axis=1)     # [B, K_total, 4]
+        scores_j, boxes_j = self._pyramid_fn(H, W)(self.params, frames_j)
+        scores = np.asarray(scores_j)   # [B, K_total]
+        boxes = np.asarray(boxes_j)     # [B, K_total, 4]
 
         out: List[List[Tuple[float, float, float, float]]] = []
         for i in range(B):

@@ -22,11 +22,23 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
 
     Returns (frames [B, H, W, 3] uint8, per-frame GT box lists).
     """
+    from dataclasses import replace
+
     frames = np.empty((batch, height, width, 3), dtype=np.uint8)
     boxes: List[List[Tuple[float, float, float, float]]] = []
     for b in range(batch):
         bg = _background(width, height, rng)
         gt: List[Tuple[float, float, float, float]] = []
+        # face-like decoy negatives: skin-tone ellipses WITHOUT facial
+        # structure, so the detector must key on eyes/mouth geometry
+        # rather than "skin blob on texture"
+        if rng.random() < 0.5:
+            decoy = FaceParams.random(rng)
+            decoy = replace(decoy, eye_r=0.0, mouth_w=0.0, nose_len=0.2)
+            dh = WINDOW * rng.uniform(0.8, 1.3)
+            dcx = rng.uniform(dh, width - dh)
+            dcy = rng.uniform(dh / 2, height - dh / 2)
+            render_face(bg, dcx, dcy, dh, decoy)
         n_faces = rng.integers(0, 3) if rng.random() < p_face else 0
         for _ in range(n_faces):
             params = FaceParams.random(rng)

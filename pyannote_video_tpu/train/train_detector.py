@@ -37,6 +37,14 @@ def loss_fn(params, frames, labels, deltas, delta_mask):
     w = jnp.where(pos, 20.0, 1.0) * valid
     cls_loss = jnp.sum(bce * w) / jnp.maximum(jnp.sum(w), 1.0)
 
+    # online hard-negative mining: the K highest-loss negative cells per
+    # image get extra weight — suppresses persistent face-like background
+    # patterns that plain BCE under-penalises
+    neg_losses = jnp.where(pos | (labels < 0.0), 0.0, bce)
+    B = neg_losses.shape[0]
+    top_neg, _ = jax.lax.top_k(neg_losses.reshape(B, -1), 8)
+    cls_loss = cls_loss + 2.0 * jnp.mean(top_neg)
+
     reg_err = pred_deltas - deltas
     huber = jnp.where(jnp.abs(reg_err) < 1.0, 0.5 * reg_err ** 2,
                       jnp.abs(reg_err) - 0.5)

@@ -122,6 +122,40 @@ class TestOpenCVVideo:
             Video("/nonexistent/video.mp4")
 
 
+class TestNativeFramefeed:
+    def test_ring_buffer_roundtrip(self):
+        """native/framefeed.c: background reader drains a frame pipe."""
+        import subprocess
+
+        from pyannote_video_tpu.io.framefeed import load
+
+        ff = load()
+        if ff is None:
+            pytest.skip("native framefeed extension unavailable")
+        frame_bytes = 48 * 64 * 3
+        code = (
+            "import os; "
+            f"[os.write(1, bytes([i % 256]) * {frame_bytes}) for i in range(50)]"
+        )
+        proc = subprocess.Popen(["python", "-c", code], stdout=subprocess.PIPE)
+        reader = ff.Reader(proc.stdout.fileno(), frame_bytes, 8)
+        out = np.empty((8, 48, 64, 3), dtype=np.uint8)
+        total = 0
+        frames_seen = []
+        while True:
+            n = reader.read_batch(out, 8)
+            if n == 0:
+                break
+            for k in range(n):
+                assert (out[k] == out[k, 0, 0, 0]).all()  # constant frame
+                frames_seen.append(int(out[k, 0, 0, 0]))
+            total += n
+        reader.close()
+        proc.wait()
+        assert total == 50
+        assert frames_seen == list(range(50))  # order preserved
+
+
 class TestSyntheticEpisode:
     def test_ground_truth_consistency(self, episode):
         assert episode.frames.shape == (30, 72, 96, 3)
