@@ -79,30 +79,23 @@ def detect_and_describe(grays: jnp.ndarray, max_kp: int = MAX_KP,
         [_shift2d(grays, int(dy), int(dx)) for dx, dy in _CIRCLE], axis=1
     )  # [B, 16, H, W]
     center = grays[:, None]
-    bright = ring > center + threshold
-    dark = ring < center - threshold
 
-    def arc9(flags):
-        # does any window of 9 consecutive ring pixels hold everywhere?
-        acc = jnp.zeros_like(flags[:, 0], dtype=bool)
+    def arc9_strength(diffs):
+        # cv2's corner strength: the largest t for which some 9-long
+        # contiguous arc satisfies the test = max over arcs of the arc min
+        best = jnp.full_like(diffs[:, 0], -jnp.inf)
         for start in range(16):
-            window = flags[:, start]
+            arc_min = diffs[:, start]
             for k in range(1, 9):
-                window = window & flags[:, (start + k) % 16]
-            acc = acc | window
-        return acc
+                arc_min = jnp.minimum(arc_min, diffs[:, (start + k) % 16])
+            best = jnp.maximum(best, arc_min)
+        return best
 
-    is_corner = arc9(bright) | arc9(dark)
-
-    # response: arc contrast (sum of |ring - center| where the test holds)
-    diff = jnp.abs(ring - center)
-    response = jnp.where(
-        is_corner,
-        jnp.maximum(
-            jnp.sum(diff * bright, axis=1), jnp.sum(diff * dark, axis=1)
-        ),
-        0.0,
+    strength = jnp.maximum(
+        arc9_strength(ring - center),   # bright arcs
+        arc9_strength(center - ring),   # dark arcs
     )
+    response = jnp.where(strength > threshold, strength, 0.0)
 
     # 3×3 non-maximum suppression
     local_max = lax.reduce_window(

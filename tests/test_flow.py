@@ -64,6 +64,31 @@ class TestFlow:
         assert d[0] < 0.15 * d[1]
 
 
+class TestOrbParity:
+    def test_fast_corners_recover_cv2(self):
+        """Our FAST-9 (cv2-score ranking) recovers cv2's corners."""
+        cv2 = pytest.importorskip("cv2")
+        import jax.numpy as jnp
+
+        from pyannote_video_tpu.ops.orb import detect_and_describe
+        from pyannote_video_tpu.utils.synthetic import _background
+
+        rng = np.random.default_rng(3)
+        gray_u8 = _background(320, 240, rng).mean(axis=2).astype(np.uint8)
+        fast = cv2.FastFeatureDetector_create(
+            threshold=20, nonmaxSuppression=True
+        )
+        cv_pts = np.asarray([k.pt for k in fast.detect(gray_u8, None)])
+        kps, valid, _ = detect_and_describe(
+            jnp.asarray(gray_u8[None], dtype=jnp.float32)
+        )
+        ours = np.asarray(kps[0][np.asarray(valid[0])])[:, :2]
+        assert len(ours) >= len(cv_pts) * 0.5
+        d = np.sqrt(((cv_pts[:, None, :] - ours[None, :, :]) ** 2).sum(-1))
+        recall = (d.min(axis=1) <= 2.0).mean()
+        assert recall > 0.75, f"only {recall:.0%} of cv2 corners recovered"
+
+
 class TestShotFarneback:
     def test_detects_cuts_like_block_method(self):
         from pyannote_video_tpu import Video
