@@ -217,14 +217,21 @@ class TrackingByDetection:
                 # 1) associate live trackers (positions at f) with detections
                 match = self._associate(cur_boxes, dets)
                 matched_slots = set(match.values())
+                # pop matched tracks BEFORE slot reassignment: a crossed
+                # match (det 0 ↔ slot 1, det 1 ↔ slot 0) would otherwise
+                # overwrite one matched track with the other when freed
+                # slots are reused
+                matched_tracks: Dict[int, _Track] = {}
                 for d, slot in match.items():
-                    trk = slot_track[slot]
+                    trk = slot_track.pop(slot)
+                    cur_boxes.pop(slot, None)
                     # replace the position point recorded at f by the
                     # detection node (reference `tracking.py:214-224`)
                     if trk.points and trk.points[-1][0] == float(ts[f]):
                         trk.points.pop()
                     trk.points.append((float(ts[f]), dets[d], DETECTION))
                     trk.det_keys.append((f, d))
+                    matched_tracks[d] = trk
 
                 # 2) start new trackers for ALL detections
                 #    (`tracking.py:246-259`); a matched detection's new
@@ -241,13 +248,17 @@ class TrackingByDetection:
                             f"more than {self.max_tracks} simultaneous "
                             "tracks; dropping a detection (raise max_tracks)"
                         )
+                        # matched tracks with no slot still close properly
+                        finished.extend(
+                            matched_tracks[dd] for dd in matched_tracks
+                            if dd >= d
+                        )
                         break
                     slot = free.pop(0)
                     new_boxes.append(det)
                     new_slots.append(slot)
                     if d in match:
-                        trk = slot_track.pop(match[d])
-                        cur_boxes.pop(match[d], None)
+                        trk = matched_tracks[d]
                     else:
                         trk = _Track()
                         trk.points.append((float(ts[f]), det, DETECTION))

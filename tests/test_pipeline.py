@@ -86,6 +86,37 @@ class TestTracking:
             ts = [p[0] for p in trk]
             assert ts == sorted(ts)
 
+    @needs_weights
+    def test_two_concurrent_faces(self):
+        """Crossed Hungarian matches must not destroy tracks (regression:
+        slot reassignment overwrote one matched track with the other)."""
+        from pyannote_video_tpu.pipeline.face_tracking import FaceTracking
+        from pyannote_video_tpu.utils.metrics import track_frame_f1
+
+        ep = synthetic_episode(
+            n_shots=2, shot_frames=16, width=240, height=160, seed=88,
+            faces_per_shot=2, n_identities=2, face_height_ratio=0.35,
+        )
+        video = Video(ep.frames, fps=ep.fps)
+        shots = [Segment(s, e) for s, e in ep.shots]
+        tracks = list(
+            FaceTracking(detect_every=0.2, track_max_gap=1.0)(video, shots)
+        )
+        pred = {}
+        for trk in tracks:
+            for t, (l, tp, r, b), st in trk:
+                pred.setdefault(round(t, 5), []).append(
+                    (l * 240, tp * 160, r * 240, b * 160)
+                )
+        truth = {
+            round(f / ep.fps, 5): [o.box for o in ep.faces_at(f)]
+            for f in range(len(ep.frames))
+        }
+        m = track_frame_f1(pred, truth)
+        assert m["recall"] > 0.9, m
+        assert m["precision"] > 0.9, m
+        assert len(tracks) == 4  # 2 faces × 2 shots
+
     def test_custom_detect_func_compat(self):
         """The reference detect_func contract (frame → boxes) still works."""
         from pyannote_video_tpu.pipeline.tracking import TrackingByDetection
