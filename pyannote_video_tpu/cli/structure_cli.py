@@ -9,8 +9,6 @@ implemented here via thread biconnected-component grouping
 
 from __future__ import annotations
 
-import sys
-
 USAGE = """Video structure
 
 The standard pipeline for is the following:

@@ -11,7 +11,7 @@ the JAX-native equivalent of the reference's single-producer ffmpeg pipe
 from __future__ import annotations
 
 from collections import deque
-from typing import Callable, Iterable, Iterator, Tuple
+from typing import Iterable, Iterator, Tuple
 
 import jax
 import numpy as np

@@ -9,7 +9,6 @@ everywhere.
 from __future__ import annotations
 
 import importlib.util
-import os
 import subprocess
 import sysconfig
 from pathlib import Path

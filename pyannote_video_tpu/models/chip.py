@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.warp import gather_affine_warp, invert_affine, similarity_from_points
+from ..ops.warp import gather_affine_warp, similarity_from_points
 from ..utils.synthetic import CANONICAL_LANDMARKS
 
 CHIP_SIZE = 150

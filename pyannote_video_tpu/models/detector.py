@@ -26,7 +26,6 @@ scale.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 

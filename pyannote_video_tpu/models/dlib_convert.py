@@ -25,9 +25,7 @@ dlib primitive wire format (dlib/serialize.h):
 
 from __future__ import annotations
 
-import struct
-from dataclasses import dataclass
-from typing import BinaryIO, List
+from typing import BinaryIO
 
 import numpy as np
 

@@ -24,7 +24,7 @@ compute on the MXU with float32 accumulation.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ detect→align→embed runs as one XLA program over frame batches").
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

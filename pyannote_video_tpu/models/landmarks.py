@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .nn import Params, load_params, save_params
+from .nn import load_params
 from ..ops.warp import bilinear_sample
 from ..utils.synthetic import CANONICAL_LANDMARKS
 

@@ -16,7 +16,7 @@ conversion parity): stride-1 convs use SAME-style symmetric padding
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ coarse-to-fine).
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

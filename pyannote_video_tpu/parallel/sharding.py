@@ -18,7 +18,6 @@ Shot-level parallelism across hosts (DCN) rides the scheduler
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

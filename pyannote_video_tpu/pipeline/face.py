@@ -10,7 +10,7 @@ for bulk work is ``process_batch`` (fused detect→align→embed,
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -123,7 +123,6 @@ class Face:
 
     def get_embedding(self, rgb: np.ndarray, landmarks: Landmarks) -> np.ndarray:
         from ..models.chip import extract_chips
-        from ..models import embedder as memb
 
         if self._embedder is None:
             from ..models.embedder import FaceEmbedder

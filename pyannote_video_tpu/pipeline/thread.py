@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections import deque
 from itertools import combinations
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import itertools
 import warnings
-from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 

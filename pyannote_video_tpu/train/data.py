@@ -11,7 +11,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from ..utils.synthetic import FaceParams, _background, face_landmarks, render_face
+from ..utils.synthetic import FaceParams, _background, render_face
 from ..models.detector import WINDOW
 
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
-import numpy as np
 
 
 def boundary_f1(predicted: Sequence[float], truth: Sequence[float],
