@@ -156,10 +156,21 @@ def track(video, shot_path, output,
         print(stats.finish(), file=sys.stderr)
 
 
+EXTRACT_FACES_PER_BATCH = 64  # padded face slots per device dispatch
+
+
 def extract(video, landmark_model, embedding_model, tracking_path,
             landmark_output, embedding_output):
-    """Landmarks + embeddings for tracked faces, batched per timestamp
-    (reference `pyannote-face.py:271-314`)."""
+    """Landmarks + embeddings for tracked faces (reference
+    `pyannote-face.py:271-314`).
+
+    TPU execution model: faces from MANY timestamps are packed into
+    fixed-size batches (frames gathered once per chunk, faces padded to
+    ``EXTRACT_FACES_PER_BATCH``) so the whole stage runs a handful of
+    compiled programs rather than one device round-trip per frame —
+    the reference's per-face dlib loop shape (`pyannote-face.py:294-311`)
+    is latency-bound on an accelerator.
+    """
     import jax.numpy as jnp
 
     from ..core import formats
@@ -172,24 +183,44 @@ def extract(video, landmark_model, embedding_model, tracking_path,
     predictor = LandmarkPredictor(landmark_model or None)
     embedder = FaceEmbedder(embedding_model or None)
 
+    grouped = list(formats.iter_tracking_by_time(points))
+    # flatten to (T, point) preserving group order
+    flat = [(T, p) for T, group in grouped for p in group]
+
     with open(landmark_output, "w") as flandmark, \
          open(embedding_output, "w") as fembedding:
 
-        for T, group in formats.iter_tracking_by_time(points):
-            rgb = video(T)
+        for start in range(0, len(flat), EXTRACT_FACES_PER_BATCH):
+            chunk = flat[start : start + EXTRACT_FACES_PER_BATCH]
+            n = len(chunk)
+            # gather the chunk's unique frames once; pad the frame axis to a
+            # power of two so chunks reuse a handful of compiled shapes
+            times = sorted({T for T, _ in chunk})
+            t_index = {T: i for i, T in enumerate(times)}
+            frames = np.stack([video(T) for T in times])
+            n_pow2 = 1 << (len(times) - 1).bit_length()
+            if n_pow2 > len(times):
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[:1], n_pow2 - len(times), 0)]
+                )
+
+            pad = EXTRACT_FACES_PER_BATCH - n
+            fidx = np.asarray(
+                [t_index[T] for T, _ in chunk] + [0] * pad, dtype=np.int32
+            )
             boxes = np.asarray(
                 [[p.left * frame_width, p.top * frame_height,
                   p.right * frame_width, p.bottom * frame_height]
-                 for p in group], dtype=np.float32)
-            landmarks = predictor.predict_batch(
-                rgb[None], np.zeros(len(group), dtype=np.int32), boxes)
+                 for _, p in chunk]
+                + [[0.0, 0.0, 10.0, 10.0]] * pad, dtype=np.float32)
+
+            landmarks = predictor.predict_batch(frames, fidx, boxes)
             chips = extract_chips(
-                jnp.asarray(rgb[None]),
-                jnp.zeros((len(group),), dtype=jnp.int32),
+                jnp.asarray(frames), jnp.asarray(fidx),
                 jnp.asarray(landmarks))
             embeddings = embedder(chips)
 
-            for p, lm, emb in zip(group, landmarks, embeddings):
+            for (T, p), lm, emb in zip(chunk, landmarks[:n], embeddings[:n]):
                 norm = lm / np.asarray([frame_width, frame_height])
                 formats.write_landmarks_line(flandmark, T, p.identifier, norm)
                 formats.write_embedding_line(fembedding, T, p.identifier, emb)
