@@ -44,7 +44,7 @@ STRIDE = 8           # total downsampling of the FCN
 # 720p instead of 15 for ~35% less detector compute at equal recall
 PYRAMID_RATIO = 0.75
 DETECT_SMALLEST = WINDOW  # smallest detectable face without upsampling
-TOPK = 32            # candidates per level per frame
+TOPK = 16            # candidates per level per frame
 # detection logit threshold: trained faces score 5-8, background noise
 # stays below ~2.5 (MMOD's zero-crossing is too permissive for the
 # regression-head variant)

@@ -117,6 +117,31 @@ class TestTracking:
         assert m["precision"] > 0.9, m
         assert len(tracks) == 4  # 2 faces × 2 shots
 
+    @needs_weights
+    def test_detect_min_size_downscale(self):
+        """detect_min_size drives frame downscaling exactly like the
+        reference (`tracking.py:388-400`); outputs stay normalized."""
+        from pyannote_video_tpu.pipeline.face_tracking import FaceTracking
+
+        ep = synthetic_episode(
+            n_shots=1, shot_frames=10, width=160, height=120, seed=31,
+            face_height_ratio=0.45,
+        )
+        video = Video(ep.frames, fps=ep.fps)
+        tracking = FaceTracking(detect_min_size=0.45, detect_every=0.2)
+        tracks = list(tracking(video, [Segment(0, 10 / 25.0)]))
+        # frame_size restored afterwards
+        assert video.frame_size == [160, 120]
+        assert tracks
+        gt = ep.faces_at(4)[0].box
+        gtn = (gt[0] / 160, gt[1] / 120, gt[2] / 160, gt[3] / 120)
+        best = max(
+            iou_xyxy(box, gtn)
+            for trk in tracks for (t, box, s) in trk
+            if abs(t - 4 / 25.0) < 1e-6
+        )
+        assert best > 0.4
+
     def test_custom_detect_func_compat(self):
         """The reference detect_func contract (frame → boxes) still works."""
         from pyannote_video_tpu.pipeline.tracking import TrackingByDetection
