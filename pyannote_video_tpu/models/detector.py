@@ -77,7 +77,9 @@ def forward_maps(params: Params, images: jnp.ndarray, train: bool = False,
 
     Returns (maps, updated_params); params change only in train mode.
     """
-    x = images.astype(jnp.float32) / 256.0 - 0.5
+    # normalize in the compute dtype: a float32 materialization of the
+    # full-resolution level would double its HBM traffic
+    x = images.astype(compute_dtype) / 256.0 - 0.5
     new: Dict[str, Params] = {}
     h = x
     for i, stride in zip(range(1, 7), (2, 2, 2, 1, 1, 1)):
@@ -118,7 +120,10 @@ def _level_candidates(params: Params, frames: jnp.ndarray,
 
     Returns (scores [B, K], boxes [B, K, 4]) in ORIGINAL image coordinates.
     """
-    imgs = resize_bilinear(frames, level_h, level_w)
+    # the whole pyramid chain runs in bfloat16: resize + FCN are
+    # bandwidth-bound on the large levels and the conv accumulation stays
+    # float32 (models/nn.py conv preferred_element_type)
+    imgs = resize_bilinear(frames.astype(jnp.bfloat16), level_h, level_w)
     maps, _ = forward_maps(params, imgs)
     B, mh, mw, _ = maps.shape
     logits = maps[..., 0].reshape(B, mh * mw)

@@ -51,17 +51,22 @@ def resize_bilinear(frames: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """
     if frames.ndim not in (3, 4):
         raise ValueError(f"expected [B,H,W] or [B,H,W,C], got {frames.shape}")
-    x = frames.astype(jnp.float32)
+    # float inputs keep their dtype (bfloat16 resize halves HBM traffic on
+    # the detector's pyramid); integer inputs promote to float32
+    x = (frames if jnp.issubdtype(frames.dtype, jnp.floating)
+         else frames.astype(jnp.float32))
     H, W = x.shape[1], x.shape[2]
 
+    dt = x.dtype
     y0, y1, wy = _interp_taps(H, out_h)
-    wy_b = jnp.asarray(wy).reshape((1, out_h) + (1,) * (x.ndim - 2))
-    x = (jnp.take(x, jnp.asarray(y0), axis=1) * (1.0 - wy_b)
+    wy_b = jnp.asarray(wy, dtype=dt).reshape((1, out_h) + (1,) * (x.ndim - 2))
+    one = jnp.asarray(1.0, dtype=dt)
+    x = (jnp.take(x, jnp.asarray(y0), axis=1) * (one - wy_b)
          + jnp.take(x, jnp.asarray(y1), axis=1) * wy_b)
 
     x0, x1, wx = _interp_taps(W, out_w)
-    wx_b = jnp.asarray(wx).reshape((1, 1, out_w) + (1,) * (x.ndim - 3))
-    x = (jnp.take(x, jnp.asarray(x0), axis=2) * (1.0 - wx_b)
+    wx_b = jnp.asarray(wx, dtype=dt).reshape((1, 1, out_w) + (1,) * (x.ndim - 3))
+    x = (jnp.take(x, jnp.asarray(x0), axis=2) * (one - wx_b)
          + jnp.take(x, jnp.asarray(x1), axis=2) * wx_b)
     return x
 
