@@ -139,6 +139,28 @@ class Face:
         )
         return self._embedder(chips)[0]
 
+    def get_debug(self, image: np.ndarray, face: BoundingBox,
+                  landmarks: Landmarks, size: int = 150) -> np.ndarray:
+        """Face crop with landmarks overlaid (reference `face/face.py:78-87`;
+        the reference referenced an undefined ``self.size`` — fixed here
+        with an explicit ``size`` parameter)."""
+        from ..utils.imops import bilinear_resize
+
+        copy = np.array(image)
+        h, w = copy.shape[:2]
+        for x, y in np.asarray(landmarks.parts()):
+            xi, yi = int(round(x)), int(round(y))
+            if 0 <= yi < h and 0 <= xi < w:
+                copy[max(0, yi - 1) : yi + 2, max(0, xi - 1) : xi + 2] = (
+                    0, 255, 0,
+                )
+        top = max(0, int(face.top()))
+        bottom = min(h, int(face.bottom()))
+        left = max(0, int(face.left()))
+        right = min(w, int(face.right()))
+        crop = copy[top:bottom, left:right]
+        return bilinear_resize(crop, size, size)
+
     def __call__(self, rgb, return_landmarks=False, return_embedding=False):
         """Iterate over faces with optional landmarks/embedding
         (`face/face.py:89-132`)."""
