@@ -52,6 +52,10 @@ DEFAULT_THRESHOLD = 2.5
 
 
 def init_params(key) -> Params:
+    """dlib's MMOD channel plan (16/32/32/45).  A 32/64-channel variant was
+    measured 20% SLOWER end-to-end on v5e despite better MXU utilization —
+    the pyramid FCN is bandwidth-bound, so the extra FLOPs just cost HBM
+    traffic."""
     ks = jax.random.split(key, 8)
     return {
         "c1": conv_init(ks[0], 5, 5, 3, 16),
