@@ -101,6 +101,22 @@ class TestFaceCli:
             _, _, X = formats.read_embeddings(emb)
             assert X.shape[1] == 128
 
+        # --resume: truncate mid-shot, resume, compare against the full run
+        resumed = str(tmp_path / "resumed.txt")
+        with open(tracking) as src:
+            lines = src.readlines()
+        with open(resumed, "w") as dst:
+            dst.writelines(lines[: len(lines) // 2])
+        r = run_cli("pyannote-face.py", "track", "--every=0.2", "--resume",
+                    path, shot_json, resumed)
+        assert r.returncode == 0, r.stderr[-2000:]
+        full_rows = formats.read_tracking(tracking)
+        res_rows = formats.read_tracking(resumed)
+        assert len(res_rows) == len(full_rows)
+        full_ts = sorted(round(p.t, 3) for p in full_rows)
+        res_ts = sorted(round(p.t, 3) for p in res_rows)
+        assert full_ts == res_ts
+
         demo_out = str(tmp_path / "demo.avi")
         r = run_cli("pyannote-face.py", "demo", "--height=120",
                     path, tracking, demo_out)
