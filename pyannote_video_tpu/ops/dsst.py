@@ -247,7 +247,16 @@ def track_scan(state: TrackState, grays: jnp.ndarray,
     def body(st, gray):
         alive_before = st.alive
         st2, boxes, conf = step(st, gray, min_confidence)
-        return st2, (boxes, conf, alive_before)
+        # pack per-frame outputs into ONE array so the host needs a single
+        # readback per chunk (device->host round-trips are expensive)
+        packed = jnp.concatenate(
+            [boxes, conf[:, None], alive_before.astype(jnp.float32)[:, None]],
+            axis=1,
+        )
+        return st2, packed
 
-    final, (boxes, confs, alive) = jax.lax.scan(body, state, grays)
+    final, packed = jax.lax.scan(body, state, grays)
+    boxes = packed[:, :, 0:4]
+    confs = packed[:, :, 4]
+    alive = packed[:, :, 5] > 0.5
     return final, boxes, confs, alive

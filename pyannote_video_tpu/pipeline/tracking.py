@@ -37,7 +37,6 @@ from ..core.graph import UnionFind
 from ..io.video import Video
 from ..ops import dsst
 from ..ops.color import to_gray
-from ..ops.boxes import gated_overlap
 
 FORWARD = "forward"
 BACKWARD = "backward"
@@ -125,13 +124,37 @@ class TrackingByDetection:
         self._batch_detector = None
 
     # -- small host helpers -------------------------------------------------
+    # Pure NumPy: these run per box-pair / per detection frame on the host;
+    # a jnp formulation would pay a device dispatch (~37 ms through this
+    # environment's tunnel) per tiny comparison and dominate the stage.
+
+    @staticmethod
+    def _gated_overlap_np(a: np.ndarray, b: np.ndarray,
+                          min_ratio: float) -> np.ndarray:
+        """Reference `_match` semantics (`tracking.py:129-134`) on host:
+        dlib closed-interval overlap area, zeroed below the gate."""
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        lt = np.maximum(a[:, None, :2], b[None, :, :2])
+        rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+        wh = np.maximum(0.0, rb - lt + 1.0)
+        inter = wh[..., 0] * wh[..., 1]
+        disjoint = (rb[..., 0] < lt[..., 0]) | (rb[..., 1] < lt[..., 1])
+        inter = np.where(disjoint, 0.0, inter)
+        area_a = np.maximum(0.0, a[:, 2] - a[:, 0] + 1.0) * np.maximum(
+            0.0, a[:, 3] - a[:, 1] + 1.0)
+        area_b = np.maximum(0.0, b[:, 2] - b[:, 0] + 1.0) * np.maximum(
+            0.0, b[:, 3] - b[:, 1] + 1.0)
+        gate = ((inter >= min_ratio * area_a[:, None])
+                & (inter >= min_ratio * area_b[None, :]))
+        return np.where(gate, inter, 0.0)
 
     def _overlap(self, box1: Box, box2: Box) -> float:
         """Gated overlap area of two boxes (reference `_match`,
         `tracking.py:129-134`)."""
-        m = np.asarray(
-            gated_overlap(np.asarray([box1]), np.asarray([box2]),
-                          self.track_min_overlap_ratio)
+        m = self._gated_overlap_np(
+            np.asarray([box1]), np.asarray([box2]),
+            self.track_min_overlap_ratio,
         )
         return float(m[0, 0])
 
@@ -147,12 +170,10 @@ class TrackingByDetection:
         slots = list(tracker_boxes)
         n = max(n_trk, n_det)
         overlap = np.zeros((n, n))
-        overlap[:n_trk, :n_det] = np.asarray(
-            gated_overlap(
-                np.asarray([tracker_boxes[s] for s in slots]),
-                np.asarray(detections),
-                self.track_min_overlap_ratio,
-            )
+        overlap[:n_trk, :n_det] = self._gated_overlap_np(
+            np.asarray([tracker_boxes[s] for s in slots]),
+            np.asarray(detections),
+            self.track_min_overlap_ratio,
         )
         return {d: slots[t]
                 for t, d in associate_by_overlap(overlap, n_trk, n_det)}
@@ -291,9 +312,17 @@ class TrackingByDetection:
             state, boxes_b, confs_b, alive_b = dsst.track_scan(
                 state, block, self.track_min_confidence
             )
-            boxes_b = np.asarray(boxes_b)
-            confs_b = np.asarray(confs_b)
-            alive_b = np.asarray(alive_b)
+            # one packed readback: boxes/confs/alive are slices of a single
+            # device array (see ops/dsst.py track_scan)
+            packed = np.asarray(
+                jnp.concatenate(
+                    [boxes_b, confs_b[..., None],
+                     alive_b.astype(jnp.float32)[..., None]], axis=2,
+                )
+            )
+            boxes_b = packed[:, :, 0:4]
+            confs_b = packed[:, :, 4]
+            alive_b = packed[:, :, 5] > 0.5
 
             for step_i, f_i in enumerate(span):
                 t_i = float(ts[int(f_i)])
