@@ -37,6 +37,42 @@ class TestMesh:
             assert out.shape == (8, 128)
 
 
+class TestDryrun:
+    def test_run_dryrun_in_process(self, capsys):
+        # the test env already provides 8 virtual CPU devices (conftest),
+        # so the driver-facing dryrun body runs in-process here
+        from pyannote_video_tpu.parallel.dryrun import run_dryrun
+
+        run_dryrun(8)
+        out = capsys.readouterr().out
+        assert "dryrun[train]" in out
+        assert "dryrun[fused]" in out
+        assert "dryrun[scheduler]" in out
+        assert "OK" in out
+
+    def test_graft_entry_reexec_child(self):
+        # simulate the driver: this parent cannot see 8 devices from the
+        # dryrun's perspective unless the child re-exec path works; force
+        # the child path by lying about the requirement being unmet is not
+        # possible in-process, so run the real wrapper in a subprocess with
+        # a single-device env.
+        import subprocess, sys, os
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = ""  # parent sees 1 device
+        env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.device_count() == 1; "
+             "import __graft_entry__ as g; g.dryrun_multichip(4)"],
+            env=env, cwd="/root/repo", capture_output=True, text=True,
+            timeout=900,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "dryrun_multichip(4)" in proc.stdout
+
+
 class TestShotScheduler:
     def test_round_robin_and_merge(self):
         shots = [Segment(i, i + 1) for i in range(10)]
