@@ -38,6 +38,7 @@ PATCH_SCALE = 2.0      # tracked box occupies 1/PATCH_SCALE of the patch
 LAMBDA = 1e-2          # regularizer
 ETA = 0.025            # filter learning rate
 SCALE_STEPS = (0.96, 0.98, 1.0, 1.02, 1.04)
+SCALE_PENALTY = 0.9    # off-scale responses must beat this margin to switch
 SIGMA_FACTOR = 1.0 / 16.0  # gaussian target sigma = P * factor
 PSR_WINDOW = 5         # half-size of the peak exclusion window for PSR
 
@@ -160,6 +161,43 @@ def start_tracks(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     )
 
 
+def restart_slots(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
+                  mask: jnp.ndarray) -> TrackState:
+    """Re-initialise EVERY masked slot from its box — select, not scatter.
+
+    boxes [N, 4] (one per slot), mask [N] bool.  Unlike ``start_tracks``
+    (M detections scattered into M slots), this full-width variant has no
+    duplicate-index scatter hazard, so it is safe inside vmapped/scanned
+    code where masked-off rows must leave their slots bit-identical.
+    """
+    hann = _hann2d()
+    G = _gaussian_target_fft()
+
+    pos = jnp.stack(
+        [(boxes[:, 1] + boxes[:, 3]) / 2.0, (boxes[:, 0] + boxes[:, 2]) / 2.0],
+        axis=1,
+    )
+    size = jnp.stack(
+        [boxes[:, 3] - boxes[:, 1], boxes[:, 2] - boxes[:, 0]], axis=1
+    )
+    size = jnp.maximum(size, 4.0)
+
+    F = jax.vmap(lambda p, s: _slot_fft(gray, p, s, hann))(pos, size)
+    num = G[None] * jnp.conj(F)
+    den = (F * jnp.conj(F)).real
+
+    m1 = mask[:, None]
+    m3 = mask[:, None, None]
+    return TrackState(
+        pos=jnp.where(m1, pos, state.pos),
+        size=jnp.where(m1, size, state.size),
+        num_re=jnp.where(m3, num.real, state.num_re),
+        num_im=jnp.where(m3, num.imag, state.num_im),
+        den=jnp.where(m3, den, state.den),
+        alive=state.alive | mask,
+    )
+
+
 @jax.jit
 def step(state: TrackState, gray: jnp.ndarray,
          min_confidence: float = 10.0) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
@@ -181,21 +219,35 @@ def step(state: TrackState, gray: jnp.ndarray,
         num = jax.lax.complex(num_re, num_im)
         resp = jnp.fft.irfft2(Fz * num[None] / (den[None] + LAMBDA), s=(P, P))
 
-        flat_idx = jnp.argmax(resp.reshape(-1))
-        s_best = flat_idx // (P * P)
-        py = (flat_idx % (P * P)) // P
-        px = flat_idx % P
-        peak = resp.reshape(-1)[flat_idx]
+        def psr_of(r):
+            flat_idx = jnp.argmax(r.reshape(-1))
+            py = flat_idx // P
+            px = flat_idx % P
+            peak = r.reshape(-1)[flat_idx]
+            idx = jnp.arange(P)
+            dy = jnp.minimum(jnp.abs(idx - py), P - jnp.abs(idx - py))
+            dx = jnp.minimum(jnp.abs(idx - px), P - jnp.abs(idx - px))
+            side = (dy[:, None] > PSR_WINDOW) | (dx[None, :] > PSR_WINDOW)
+            n_side = jnp.maximum(jnp.sum(side), 1)
+            mu = jnp.sum(r * side) / n_side
+            var = jnp.sum(((r - mu) ** 2) * side) / n_side
+            return (peak - mu) / jnp.sqrt(var + 1e-8), py, px
 
-        r = resp[s_best]
-        idx = jnp.arange(P)
-        dy = jnp.minimum(jnp.abs(idx - py), P - jnp.abs(idx - py))
-        dx = jnp.minimum(jnp.abs(idx - px), P - jnp.abs(idx - px))
-        side = (dy[:, None] > PSR_WINDOW) | (dx[None, :] > PSR_WINDOW)
-        n_side = jnp.maximum(jnp.sum(side), 1)
-        mu = jnp.sum(r * side) / n_side
-        var = jnp.sum(((r - mu) ** 2) * side) / n_side
-        psr = (peak - mu) / jnp.sqrt(var + 1e-8)
+        # scale selection by PSR, not raw peak: a freshly-initialised MOSSE
+        # filter (one training frame) has denominator nulls that spuriously
+        # amplify off-scale response SPIKES past the true peak, but such
+        # spikes have poor peak-to-sidelobe ratio; PSR is self-normalising
+        # (dlib's DSST avoids this with its separate 1-D scale filter).
+        # Off-unity scales additionally pay a change penalty.
+        psrs, pys, pxs = jax.vmap(psr_of)(resp)
+        scale_penalty = jnp.asarray(
+            [1.0 if s == 1.0 else SCALE_PENALTY for s in SCALE_STEPS],
+            dtype=jnp.float32,
+        )
+        s_best = jnp.argmax(psrs * scale_penalty)
+        psr = psrs[s_best]
+        py = pys[s_best]
+        px = pxs[s_best]
 
         dy_pix = jnp.where(py <= P // 2, py, py - P).astype(jnp.float32)
         dx_pix = jnp.where(px <= P // 2, px, px - P).astype(jnp.float32)
@@ -231,6 +283,213 @@ def step(state: TrackState, gray: jnp.ndarray,
         axis=1,
     )
     return TrackState(pos, size, num_re, num_im, den, alive), boxes, conf
+
+
+# ---------------------------------------------------------------------------
+# Whole-shot scan: DSST + association + track bookkeeping in ONE dispatch
+# ---------------------------------------------------------------------------
+# Packed per-slot emission layout (host reads one array per shot):
+PACK_BOX = slice(0, 4)   # l, t, r, b (pixel coords)
+PACK_CONF = 4            # PSR confidence
+PACK_STATUS = 5          # 0 dead / 1 tracked / 2 detection point
+PACK_UID = 6             # track uid (int, stored as float)
+PACK_DET = 7             # detection index at this frame (-1 if none)
+PACK_WIDTH = 8
+
+
+def _greedy_match(overlap: jnp.ndarray) -> jnp.ndarray:
+    """Greedy maximum-overlap one-to-one matching on device.
+
+    overlap [N, D] (zeros = gated out / invalid) → match_slot [D] int32
+    (slot per detection, -1 unmatched).  The reference runs Hungarian
+    (`tracking.py:159-182`); greedy-by-max picks identical pairs whenever
+    matches are unambiguous (the tracking regime — boxes either overlap
+    their own detection dominantly or not at all), and keeps the whole
+    shot's association inside the compiled scan.
+    """
+    N, D = overlap.shape
+    match_slot = jnp.full((D,), -1, dtype=jnp.int32)
+
+    def body(_, carry):
+        ov, match_slot = carry
+        flat = jnp.argmax(ov)
+        n = (flat // D).astype(jnp.int32)
+        d = (flat % D).astype(jnp.int32)
+        ok = ov.reshape(-1)[flat] > 0.0
+        match_slot = jnp.where(ok, match_slot.at[d].set(n), match_slot)
+        cleared = ov.at[n, :].set(0.0).at[:, d].set(0.0)
+        ov = jnp.where(ok, cleared, ov)
+        return ov, match_slot
+
+    _, match_slot = jax.lax.fori_loop(0, min(N, D), body,
+                                      (overlap, match_slot))
+    return match_slot
+
+
+def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
+              grays: jnp.ndarray, frame_valid: jnp.ndarray,
+              det_boxes: jnp.ndarray, det_valid: jnp.ndarray,
+              min_confidence, min_overlap_ratio, dup_containment):
+    """One directional tracking pass over a WHOLE shot in one dispatch.
+
+    The reference's per-frame Python loop (detect → Hungarian associate →
+    per-tracker update, `tracking.py:184-259`) becomes a single compiled
+    ``lax.scan``: every frame advances all tracker slots (batched DSST),
+    detection frames run gated greedy association, kill matched trackers,
+    restart them from their detections (continuing the same track uid) and
+    spawn new tracks for unmatched detections — the host reads back ONE
+    packed array per shot and only rebuilds track lists.
+
+    Parameters
+    ----------
+    state, uid, next_uid : tracker slots ([N] uids, scalar uid counter).
+    grays : [T, H, W] float32 (already time-ordered for the pass direction).
+    frame_valid : [T] bool — padding frames (shape bucketing) are skipped.
+    det_boxes : [T, D, 4] float32, det_valid : [T, D] bool — detections per
+        frame (empty rows off); a frame with any valid detection is a
+        detection frame.
+    min_overlap_ratio : the association gate (`tracking.py:129-134`).
+    dup_containment : suppress spawning a new track for an unmatched
+        detection whose containment overlap (intersection / min area) with
+        a surviving tracker exceeds this — otherwise alignment jitter
+        around the gate spawns duplicate parallel tracks (the reference
+        inherits this failure mode; we fix it at association time).
+
+    Returns
+    -------
+    (state, uid, next_uid), packed [T, N, PACK_WIDTH], dropped [T]
+        ``dropped[t]`` counts detections that found no free slot (host
+        retries the shot with a bigger slot bucket).
+    """
+    from .boxes import gated_overlap, overlap_min_ratio
+
+    N = state.alive.shape[0]
+
+    def det_branch(op):
+        st, uid, next_uid, gray, dboxes, dvalid, tboxes = op
+        alive = st.alive
+        ov = gated_overlap(tboxes, dboxes, min_overlap_ratio)
+        ov = jnp.where(alive[:, None] & dvalid[None, :], ov, 0.0)
+        match_slot = _greedy_match(ov)            # [D] slot or -1
+        matched = match_slot >= 0
+
+        # duplicate suppression: unmatched detection mostly contained in /
+        # containing a surviving (unmatched) tracker → no new track
+        slot_matched = jnp.zeros((N,), dtype=jnp.int32).at[
+            jnp.where(matched, match_slot, 0)
+        ].add(matched.astype(jnp.int32)) > 0
+        cont = overlap_min_ratio(tboxes, dboxes)  # [N, D]
+        live_unmatched = alive & ~slot_matched
+        cont_live = jnp.where(live_unmatched[:, None], cont, 0.0)
+        dup = (jnp.max(cont_live, axis=0) > dup_containment) & dvalid
+        # the suppressing slot ABSORBS the duplicate's detection node (the
+        # host links fwd/bwd tracks through it), otherwise the opposite
+        # pass — which meets the duplicate first — still spawns a twin
+        dup_slot = jnp.argmax(cont_live, axis=0).astype(jnp.int32)
+        spawn = dvalid & ~matched & ~dup
+
+        # free-slot assignment for spawns (stable: lowest slots first)
+        free = ~alive
+        slot_order = jnp.argsort(~free)           # free slots first
+        n_free = jnp.sum(free)
+        rank = jnp.cumsum(spawn.astype(jnp.int32)) - 1
+        has_slot = spawn & (rank < n_free)
+        new_slot = slot_order[jnp.clip(rank, 0, N - 1)].astype(jnp.int32)
+        dropped = jnp.sum(spawn & ~has_slot)
+        target = jnp.where(matched, match_slot,
+                           jnp.where(has_slot, new_slot, -1))
+        restart = target >= 0
+
+        # per-slot view of the (injective) detection → slot map
+        onehot = (target[None, :] == jnp.arange(N)[:, None]) & restart[None, :]
+        slot_has_det = jnp.any(onehot, axis=1)
+        det_for_slot = jnp.argmax(onehot, axis=1).astype(jnp.int32)
+
+        # fresh uids for spawned tracks; matched restarts keep their uid
+        fresh = restart & ~matched
+        fresh_rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1
+        slot_is_fresh = slot_has_det & fresh[det_for_slot]
+        uid = jnp.where(slot_is_fresh,
+                        next_uid + fresh_rank[det_for_slot], uid)
+        next_uid = next_uid + jnp.sum(fresh)
+
+        # restart trackers from their detection boxes: fresh filter state —
+        # dlib start_track semantics (`tracking.py:250-259`); a matched
+        # slot's old filter dies and its detection re-seeds the same slot,
+        # continuing the track uid
+        slot_boxes = dboxes[det_for_slot]
+        st = restart_slots(st, gray, slot_boxes, slot_has_det)
+
+        # absorbed-duplicate links (disjoint from restarted slots: the
+        # suppressor is live and unmatched, restarts hit matched/free slots)
+        onehot_abs = ((dup_slot[None, :] == jnp.arange(N)[:, None])
+                      & dup[None, :])
+        slot_abs = jnp.any(onehot_abs, axis=1) & live_unmatched
+        abs_det = jnp.argmax(onehot_abs, axis=1).astype(jnp.int32)
+
+        return (st, uid, next_uid, slot_has_det, det_for_slot, slot_boxes,
+                slot_abs, abs_det, dropped)
+
+    def frame_body(op):
+        st, uid, next_uid, gray, dboxes, dvalid = op
+        alive_before = st.alive
+        st, tboxes, conf = step(st, gray, min_confidence)
+        tracked = alive_before & (conf >= min_confidence)
+
+        def with_dets(op2):
+            return det_branch(op2)
+
+        def no_dets(op2):
+            st, uid, next_uid = op2[0], op2[1], op2[2]
+            return (st, uid, next_uid,
+                    jnp.zeros((N,), dtype=bool),
+                    jnp.zeros((N,), dtype=jnp.int32),
+                    jnp.zeros((N, 4), dtype=jnp.float32),
+                    jnp.zeros((N,), dtype=bool),
+                    jnp.zeros((N,), dtype=jnp.int32),
+                    jnp.int32(0))
+
+        (st, uid, next_uid, slot_has_det, det_for_slot, slot_boxes,
+         slot_abs, abs_det, dropped) = (
+            jax.lax.cond(jnp.any(dvalid), with_dets, no_dets,
+                         (st, uid, next_uid, gray, dboxes, dvalid, tboxes))
+        )
+
+        out_box = jnp.where(slot_has_det[:, None], slot_boxes, tboxes)
+        out_status = jnp.where(slot_has_det, 2.0,
+                               jnp.where(tracked, 1.0, 0.0))
+        out_det = jnp.where(slot_has_det, det_for_slot.astype(jnp.float32),
+                            jnp.where(slot_abs, abs_det.astype(jnp.float32),
+                                      -1.0))
+        packed = jnp.concatenate(
+            [out_box, conf[:, None], out_status[:, None],
+             uid.astype(jnp.float32)[:, None], out_det[:, None]], axis=1,
+        )
+        return (st, uid, next_uid), packed, dropped
+
+    def body(carry, inp):
+        st, uid, next_uid = carry
+        gray, f_valid, dboxes, dvalid = inp
+
+        def run(_):
+            return frame_body((st, uid, next_uid, gray, dboxes, dvalid))
+
+        def skip(_):
+            return ((st, uid, next_uid),
+                    jnp.zeros((N, PACK_WIDTH), dtype=jnp.float32),
+                    jnp.int32(0))
+
+        carry2, packed, dropped = jax.lax.cond(f_valid, run, skip, None)
+        return carry2, (packed, dropped)
+
+    (state, uid, next_uid), (packed, dropped) = jax.lax.scan(
+        body, (state, uid, next_uid),
+        (grays, frame_valid, det_boxes, det_valid),
+    )
+    return (state, uid, next_uid), packed, dropped
+
+
+shot_scan_jit = jax.jit(shot_scan)
 
 
 @partial(jax.jit, static_argnames=())

@@ -5,13 +5,15 @@ outputs and defaults but a TPU-first execution model:
 
 * the reference updates one C++ tracker object per face per frame in a
   Python loop (`tracking.py:199-206`); here ALL trackers of a shot live in
-  fixed device slots and advance through each inter-detection frame chunk
-  with ONE compiled ``lax.scan`` (`ops/dsst.py:track_scan`);
+  fixed device slots and an ENTIRE directional pass — DSST updates, gated
+  greedy association (device counterpart of the reference's Hungarian,
+  `tracking.py:136-182`), tracker restarts and new-track spawning — runs
+  as ONE compiled ``lax.scan`` dispatch (`ops/dsst.py:shot_scan`);
 * detections run batched over the shot's detection frames
   (`models/detector.py:detect_batch`) instead of per-frame calls
   (`tracking.py:425-427`);
-* only tiny per-detection-frame association work (gated-overlap Hungarian,
-  `tracking.py:136-182`) runs on host.
+* the host only reads back one packed array per pass and rebuilds track
+  lists from the emitted (box, status, uid, detection-index) stream.
 
 Track-building semantics replicate the reference graph construction
 (`tracking.py:184-259`): a matched tracker closes with the detection point
@@ -32,7 +34,6 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..core.assignment import associate_by_overlap
 from ..core.graph import UnionFind
 from ..io.video import Video
 from ..ops import dsst
@@ -100,7 +101,14 @@ class TrackingByDetection:
     track_max_gap : float
         Bridge gaps shorter than this (seconds).
     max_tracks : int
-        Device tracker slots per shot.
+        Minimum device tracker slots per shot; grows automatically through
+        the 16/32/64 slot buckets when a shot needs more (no detection is
+        dropped below 64 simultaneous tracks).
+    track_dup_containment : float
+        Suppress spawning a duplicate parallel track when an unmatched
+        detection's containment overlap with a surviving tracker exceeds
+        this (extension: the reference spawns a second track for every
+        gate-missing detection, `tracking.py:246-259`).
     """
 
     def __init__(self, detect_func: Optional[Callable] = None,
@@ -111,7 +119,8 @@ class TrackingByDetection:
                  track_min_overlap_ratio: float = 0.3,
                  track_max_gap: float = 0.0,
                  max_tracks: int = 16,
-                 max_shot_frames: int = 2000):
+                 max_shot_frames: int = 2000,
+                 track_dup_containment: float = 0.6):
         self.max_shot_frames = max_shot_frames
         self.detect_func = detect_func
         self.detect_smallest = detect_smallest
@@ -121,6 +130,7 @@ class TrackingByDetection:
         self.track_min_overlap_ratio = track_min_overlap_ratio
         self.track_max_gap = track_max_gap
         self.max_tracks = max_tracks
+        self.track_dup_containment = track_dup_containment
         self._batch_detector = None
 
     # -- small host helpers -------------------------------------------------
@@ -158,26 +168,6 @@ class TrackingByDetection:
         )
         return float(m[0, 0])
 
-    def _associate(self, tracker_boxes: Dict[int, Box],
-                   detections: List[Box]) -> Dict[int, int]:
-        """Hungarian association (reference `tracking.py:136-182`).
-
-        Returns {detection_index: slot}.
-        """
-        n_trk, n_det = len(tracker_boxes), len(detections)
-        if n_trk < 1 or n_det < 1:
-            return {}
-        slots = list(tracker_boxes)
-        n = max(n_trk, n_det)
-        overlap = np.zeros((n, n))
-        overlap[:n_trk, :n_det] = self._gated_overlap_np(
-            np.asarray([tracker_boxes[s] for s in slots]),
-            np.asarray(detections),
-            self.track_min_overlap_ratio,
-        )
-        return {d: slots[t]
-                for t, d in associate_by_overlap(overlap, n_trk, n_det)}
-
     # -- detection ----------------------------------------------------------
 
     def _detect_frames(self, frames: np.ndarray,
@@ -204,142 +194,122 @@ class TrackingByDetection:
 
     # -- one directional pass ----------------------------------------------
 
+    _T_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096)
+    _N_BUCKETS = (16, 32, 64)
+
+    @staticmethod
+    def _bucket(n: int, buckets: Sequence[int]) -> int:
+        for b in buckets:
+            if b >= n:
+                return b
+        return buckets[-1]
+
     def _track_pass(self, grays: jnp.ndarray, ts: np.ndarray,
                     detections: Dict[int, List[Box]],
                     direction: str) -> List[_Track]:
-        """One forward or backward pass over a shot's frames.
+        """One forward or backward pass over a shot — ONE device dispatch.
+
+        The whole pass (batched DSST steps, gated greedy association,
+        tracker restarts, new-track spawning) runs inside a single compiled
+        ``lax.scan`` (`ops/dsst.py:shot_scan`); the host reads back one
+        packed [T, N, 8] array and rebuilds track lists from the emitted
+        (box, status, uid, det-index) stream.  Shapes are bucketed (frame
+        count to powers of two with a validity mask, slot count to
+        16/32/64) so the number of distinct compilations stays small; a
+        pass that drops detections for want of free slots is retried with
+        the next slot bucket instead of losing them (the reference is
+        unbounded, `tracking.py:246-259`).
 
         grays: [T, H, W] float32 device array (time-ordered).
         detections: frame-index → boxes (in time order).
         """
-        T = grays.shape[0]
-        order = np.arange(T) if direction == FORWARD else np.arange(T)[::-1]
-        det_set = set(detections)
+        T = int(grays.shape[0])
+        if T == 0:
+            return []
 
-        state = dsst.init_state(self.max_tracks)
-        slot_track: Dict[int, _Track] = {}
-        finished: List[_Track] = []
-        cur_boxes: Dict[int, Box] = {}  # live slot -> last box
+        # detection tensors [T, D, 4] / [T, D]
+        max_det = max((len(v) for v in detections.values()), default=0)
+        D = self._bucket(max(max_det, 1), (8, 16, 32, 64))
+        det_boxes = np.zeros((T, D, 4), dtype=np.float32)
+        det_valid = np.zeros((T, D), dtype=bool)
+        for f, boxes in detections.items():
+            for d, b in enumerate(boxes):
+                det_boxes[f, d] = b
+                det_valid[f, d] = True
 
-        def close(slot: int) -> None:
-            finished.append(slot_track.pop(slot))
-            cur_boxes.pop(slot, None)
+        if direction == BACKWARD:
+            order = np.arange(T - 1, -1, -1)
+        else:
+            order = np.arange(T)
 
-        def alive_np(st) -> np.ndarray:
-            return np.asarray(st.alive)
+        Tpad = self._bucket(T, self._T_BUCKETS)
+        frame_valid = np.zeros((Tpad,), dtype=bool)
+        frame_valid[:T] = True
 
-        pos_in_pass = 0
-        while pos_in_pass < T:
-            f = int(order[pos_in_pass])
-            is_det_frame = f in det_set
-
-            if is_det_frame:
-                dets = detections[f]
-                # 1) associate live trackers (positions at f) with detections
-                match = self._associate(cur_boxes, dets)
-                matched_slots = set(match.values())
-                # pop matched tracks BEFORE slot reassignment: a crossed
-                # match (det 0 ↔ slot 1, det 1 ↔ slot 0) would otherwise
-                # overwrite one matched track with the other when freed
-                # slots are reused
-                matched_tracks: Dict[int, _Track] = {}
-                for d, slot in match.items():
-                    trk = slot_track.pop(slot)
-                    cur_boxes.pop(slot, None)
-                    # replace the position point recorded at f by the
-                    # detection node (reference `tracking.py:214-224`)
-                    if trk.points and trk.points[-1][0] == float(ts[f]):
-                        trk.points.pop()
-                    trk.points.append((float(ts[f]), dets[d], DETECTION))
-                    trk.det_keys.append((f, d))
-                    matched_tracks[d] = trk
-
-                # 2) start new trackers for ALL detections
-                #    (`tracking.py:246-259`); a matched detection's new
-                #    tracker CONTINUES the matched track (shared node)
-                alive = alive_np(state).copy()
-                # free matched slots first (their tracker dies)
-                for slot in matched_slots:
-                    alive[slot] = False
-                free = [s for s in range(self.max_tracks) if not alive[s]]
-                new_boxes, new_slots = [], []
-                for d, det in enumerate(dets):
-                    if not free:
-                        warnings.warn(
-                            f"more than {self.max_tracks} simultaneous "
-                            "tracks; dropping a detection (raise max_tracks)"
-                        )
-                        # matched tracks with no slot still close properly
-                        finished.extend(
-                            matched_tracks[dd] for dd in matched_tracks
-                            if dd >= d
-                        )
-                        break
-                    slot = free.pop(0)
-                    new_boxes.append(det)
-                    new_slots.append(slot)
-                    if d in match:
-                        trk = matched_tracks[d]
-                    else:
-                        trk = _Track()
-                        trk.points.append((float(ts[f]), det, DETECTION))
-                        trk.det_keys.append((f, d))
-                    slot_track[slot] = trk
-                    cur_boxes[slot] = det
-
-                # kill matched slots on device, then start the new ones
-                alive_dev = np.asarray(state.alive).copy()
-                for slot in matched_slots:
-                    alive_dev[slot] = False
-                state = state._replace(alive=jnp.asarray(alive_dev))
-                if new_boxes:
-                    m = len(new_boxes)
-                    state = dsst.start_tracks(
-                        state, grays[f],
-                        jnp.asarray(new_boxes, dtype=jnp.float32),
-                        jnp.asarray(new_slots, dtype=jnp.int32),
-                        jnp.ones((m,), dtype=bool),
-                    )
-
-            # 3) scan to (and including) the next detection frame
-            next_det_pos = pos_in_pass + 1
-            while next_det_pos < T and int(order[next_det_pos]) not in det_set:
-                next_det_pos += 1
-            span = order[pos_in_pass + 1 : next_det_pos + 1]
-            if len(span) == 0:
-                break
-            block = jnp.take(grays, jnp.asarray(span.copy()), axis=0)
-            state, boxes_b, confs_b, alive_b = dsst.track_scan(
-                state, block, self.track_min_confidence
+        gr = grays if direction == FORWARD else jnp.flip(grays, axis=0)
+        if Tpad > T:
+            gr = jnp.concatenate(
+                [gr, jnp.zeros((Tpad - T,) + gr.shape[1:], dtype=gr.dtype)]
             )
-            # one packed readback: boxes/confs/alive are slices of a single
-            # device array (see ops/dsst.py track_scan)
-            packed = np.asarray(
+        db = np.zeros((Tpad, D, 4), dtype=np.float32)
+        dv = np.zeros((Tpad, D), dtype=bool)
+        db[:T] = det_boxes[order]
+        dv[:T] = det_valid[order]
+
+        n_buckets = [b for b in self._N_BUCKETS if b >= self.max_tracks]
+        if not n_buckets:
+            n_buckets = [self.max_tracks]
+        for n_slots in n_buckets:
+            state = dsst.init_state(n_slots)
+            uid0 = jnp.full((n_slots,), -1, dtype=jnp.int32)
+            _, packed_dev, dropped_dev = dsst.shot_scan_jit(
+                state, uid0, jnp.int32(0),
+                gr, jnp.asarray(frame_valid),
+                jnp.asarray(db), jnp.asarray(dv),
+                self.track_min_confidence,
+                self.track_min_overlap_ratio,
+                self.track_dup_containment,
+            )
+            # ONE readback per pass: flattened pack + per-frame drop counts
+            flat = np.asarray(
                 jnp.concatenate(
-                    [boxes_b, confs_b[..., None],
-                     alive_b.astype(jnp.float32)[..., None]], axis=2,
+                    [packed_dev[:T].reshape(T, -1),
+                     dropped_dev[:T, None].astype(jnp.float32)], axis=1,
                 )
             )
-            boxes_b = packed[:, :, 0:4]
-            confs_b = packed[:, :, 4]
-            alive_b = packed[:, :, 5] > 0.5
+            packed = flat[:, :-1].reshape(T, n_slots, dsst.PACK_WIDTH)
+            n_dropped = int(flat[:, -1].sum())
+            if n_dropped == 0:
+                break
+            if n_slots != n_buckets[-1]:
+                continue  # retry with more slots
+            warnings.warn(
+                f"more than {n_slots} simultaneous tracks; dropped "
+                f"{n_dropped} detections (raise max_tracks)"
+            )
 
-            for step_i, f_i in enumerate(span):
-                t_i = float(ts[int(f_i)])
-                for slot in list(slot_track):
-                    if not alive_b[step_i, slot]:
-                        continue  # was already dead entering this frame
-                    conf = confs_b[step_i, slot]
-                    if conf < self.track_min_confidence:
-                        close(slot)  # killed at this frame, no point
-                        continue
-                    box = tuple(float(v) for v in boxes_b[step_i, slot])
-                    slot_track[slot].points.append((t_i, box, direction))
-                    cur_boxes[slot] = box
-            pos_in_pass = next_det_pos
+        boxes_a = packed[:, :, dsst.PACK_BOX]
+        status_a = packed[:, :, dsst.PACK_STATUS]
+        uid_a = packed[:, :, dsst.PACK_UID].astype(np.int64)
+        det_a = packed[:, :, dsst.PACK_DET].astype(np.int64)
 
-        finished.extend(slot_track.values())
-        return [trk for trk in finished if trk.points]
+        tracks: Dict[int, _Track] = {}
+        for ti in range(T):
+            f = int(order[ti])
+            t = float(ts[f])
+            for slot in np.nonzero(status_a[ti] > 0.5)[0]:
+                trk = tracks.setdefault(int(uid_a[ti, slot]), _Track())
+                box = tuple(float(v) for v in boxes_a[ti, slot])
+                if status_a[ti, slot] > 1.5:
+                    trk.points.append((t, box, DETECTION))
+                else:
+                    trk.points.append((t, box, direction))
+                if det_a[ti, slot] >= 0:
+                    # detection node owned by this track — either a real
+                    # detection point or an absorbed duplicate (links the
+                    # fwd/bwd passes through the merge step)
+                    trk.det_keys.append((f, int(det_a[ti, slot])))
+        return [trk for trk in tracks.values() if trk.points]
 
     # -- merge / fix / gap-fill (reference semantics) -----------------------
 

@@ -167,6 +167,77 @@ class TestTracking:
         assert len(tracks[0]) >= 6
 
 
+    def test_crowd_scene_grows_slot_bucket(self):
+        """>16 simultaneous objects: the 16→32 slot-bucket retry keeps every
+        detection (the reference is unbounded, `tracking.py:246-259`; the
+        round-1 build dropped detections past 16 slots)."""
+        from pyannote_video_tpu.pipeline.tracking import TrackingByDetection
+
+        rng = np.random.default_rng(4)
+        H, W, T = 480, 640, 6
+        frame = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        frames = np.repeat(frame[None], T, axis=0)
+        video = Video(frames, fps=25.0)
+
+        boxes = []
+        for r in range(4):
+            for c in range(5):
+                x0, y0 = 20 + c * 124, 20 + r * 115
+                boxes.append((float(x0), float(y0),
+                              float(x0 + 90), float(y0 + 80)))
+        assert len(boxes) == 20
+
+        tracking = TrackingByDetection(
+            detect_func=lambda f: boxes, detect_every=0.2, max_tracks=16,
+        )
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")  # no drop warning allowed
+            tracks = list(tracking(video, [Segment(0, T / 25.0)]))
+        assert len(tracks) == 20
+        # every ground-truth box has a matching track at t=0
+        t0_boxes = [
+            tuple(np.asarray(p[1]) * (W, H, W, H))
+            for trk in tracks for p in trk if p[0] == 0.0
+        ]
+        for b in boxes:
+            assert any(iou_xyxy(b, tb) > 0.8 for tb in t0_boxes)
+
+    def test_duplicate_detection_suppressed(self):
+        """A gate-failing detection mostly contained in a live tracker must
+        not spawn a parallel duplicate track (round-1 precision gap)."""
+        from pyannote_video_tpu.pipeline.tracking import TrackingByDetection
+
+        rng = np.random.default_rng(5)
+        H, W, T = 240, 320, 10
+        frame = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        frames = np.repeat(frame[None], T, axis=0)
+        video = Video(frames, fps=25.0)
+
+        big = (100.0, 60.0, 200.0, 160.0)
+        small = (125.0, 85.0, 175.0, 135.0)  # inside `big`, gate-failing
+
+        def detect(frame_):
+            return [big] if detect.calls == 0 else [small]
+
+        detect.calls = 0
+
+        def counting_detect(frame_):
+            out = detect(frame_)
+            detect.calls += 1
+            return out
+
+        tracking = TrackingByDetection(
+            detect_func=counting_detect, detect_every=0.2,
+            track_min_overlap_ratio=0.5,
+        )
+        tracks = list(tracking(video, [Segment(0, T / 25.0)]))
+        assert len(tracks) == 1, (
+            f"duplicate parallel track spawned: {len(tracks)} tracks"
+        )
+
+
 class TestThread:
     def test_alternating_pattern_recovered(self):
         from pyannote_video_tpu.pipeline.thread import Thread
