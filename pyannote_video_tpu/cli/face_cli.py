@@ -70,6 +70,10 @@ Feature extraction options (extract):
   <embedding_model>         Path to feature extraction model (.npz).
   <landmarks>               Path to facial landmarks detection result file.
   <embeddings>              Path to feature extraction result file.
+  --exact-chips             Use exact rotated chip sampling (dlib
+                            get_face_chip parity, including face roll) for
+                            the embedding alignment instead of the fast
+                            axis-aligned path (extension).
 
 Visualization options (demo):
 
@@ -160,7 +164,7 @@ EXTRACT_FACES_PER_BATCH = 64  # padded face slots per device dispatch
 
 
 def extract(video, landmark_model, embedding_model, tracking_path,
-            landmark_output, embedding_output):
+            landmark_output, embedding_output, exact_chips=False):
     """Landmarks + embeddings for tracked faces (reference
     `pyannote-face.py:271-314`).
 
@@ -174,7 +178,7 @@ def extract(video, landmark_model, embedding_model, tracking_path,
     import jax.numpy as jnp
 
     from ..core import formats
-    from ..models.chip import extract_chips
+    from ..models.chip import extract_chips, extract_chips_exact
     from ..models.embedder import FaceEmbedder
     from ..models.landmarks import LandmarkPredictor
 
@@ -215,7 +219,8 @@ def extract(video, landmark_model, embedding_model, tracking_path,
                 + [[0.0, 0.0, 10.0, 10.0]] * pad, dtype=np.float32)
 
             landmarks = predictor.predict_batch(frames, fidx, boxes)
-            chips = extract_chips(
+            chip_fn = extract_chips_exact if exact_chips else extract_chips
+            chips = chip_fn(
                 jnp.asarray(frames), jnp.asarray(fidx),
                 jnp.asarray(landmarks))
             embeddings = embedder(chips)
@@ -338,6 +343,7 @@ def main(argv=None):
             "--min-confidence": "10.",
             "--max-gap": "1.",
             "--resume": None,
+            "--exact-chips": None,
             "--height": "400",
             "--from": "0",
             "--until": "",
@@ -365,7 +371,8 @@ def main(argv=None):
         video = Video(filename, ffmpeg=ffmpeg, verbose=verbose)
         extract(video, arguments["<landmark_model>"],
                 arguments["<embedding_model>"], arguments["<tracking>"],
-                arguments["<landmarks>"], arguments["<embeddings>"])
+                arguments["<landmarks>"], arguments["<embeddings>"],
+                exact_chips=bool(arguments["--exact-chips"]))
 
     if arguments["demo"]:
         t_end = arguments["--until"]

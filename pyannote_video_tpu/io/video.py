@@ -440,8 +440,13 @@ class Video:
         accumulation in arange can admit a phantom frame at the tail when
         ``start`` is nonzero (e.g. resumed runs).
         """
-        n = int(np.ceil((self.end - self.start) / self.step - 1e-9))
-        return self.start + self.step * np.arange(max(n, 0))
+        return self._grid(self.start, self.end, self.step)
+
+    @staticmethod
+    def _grid(start: float, end: float, step: float) -> np.ndarray:
+        """Drift-safe time grid shared by `timestamps` and `iterbatches`."""
+        n = int(np.ceil((end - start) / step - 1e-9))
+        return start + step * np.arange(max(n, 0))
 
     def iterframes(self, with_time=False, with_context=False, context=1):
         """Iterate over frames as (H, W, 3) RGB uint8 arrays.
@@ -500,7 +505,10 @@ class Video:
         start = self.start if start is None else start
         end = self.end if end is None else end
         step = self.step if step is None else step
-        grid = np.arange(start, end, step)
+        # same index-based grid as `timestamps()` — np.arange float
+        # accumulation could emit a phantom tail frame on resumed runs
+        # with nonzero start
+        grid = self._grid(start, end, step)
         for chunk_start in range(0, len(grid), batch_size):
             ts = grid[chunk_start : chunk_start + batch_size]
             frames = np.stack([self(t) for t in ts], axis=0)

@@ -1,23 +1,35 @@
-"""dlib ``.dat`` model-file conversion (parser + topology mapping).
+"""dlib ``.dat`` model-file conversion: parser, container walks, serializer.
 
 The reference loads three dlib model files at runtime
 (`face/face.py:54-62`): ``mmod_human_face_detector.dat``,
 ``shape_predictor_68_face_landmarks.dat`` and
 ``dlib_face_recognition_resnet_model_v1.dat``.  None are present in this
-environment (zero egress, SURVEY §2.2), so conversion cannot be exercised
-here; this module provides (a) a working parser for dlib's primitive
-serialization layer and (b) the documented topology mapping each converter
-must walk, so an environment WITH the files can complete the port and
-validate the ≤1e-3 embedding-parity target (BASELINE.md).
+environment (zero egress, SURVEY §2.2), so byte-level parity against the
+published files cannot be exercised here.  What IS implemented and tested:
+
+* a parser for dlib's primitive serialization layer (``DlibReader``);
+* a mirror serializer (``DlibWriter``) implementing the same wire format;
+* both container walks (``convert_shape_predictor``,
+  ``convert_face_recognition``) that map dlib's model containers onto this
+  framework's parameter pytrees, including the coordinate-range conversion
+  (dlib's [0,1] box frame → our [-1,1]), tensor-layout transposes
+  (dlib ``[out, in, nr, nc]`` filters → HWIO) and affine→batch-norm folding;
+* exporters (``write_shape_predictor``, ``write_face_recognition``) walking
+  the same container layouts in reverse, so write→convert→forward
+  round-trip tests pin every mapping decision (`tests/test_models.py`).
+
+If a real dlib file deviates from the wire layout documented here, the fix
+is local: the per-field order lives in exactly one reader/writer pair per
+container.
 
 dlib primitive wire format (dlib/serialize.h):
 
 * unsigned integers — one control byte whose low 4 bits give the number of
   payload bytes ``n``, followed by ``n`` little-endian bytes;
 * signed integers — same, with the sign carried in control-byte bit 0x10;
-* ``float``/``double`` — serialized via ``float_details``: three signed
-  integers (mantissa, exponent, sign embedded in mantissa), value =
-  mantissa · 2^exponent;
+* ``float``/``double`` — serialized via ``float_details``: two signed
+  integers (mantissa, exponent), value = mantissa · 2^exponent (exact for
+  float32: 24-bit significand);
 * ``matrix<T>`` — long rows, long cols, then row-major elements;
 * ``std::vector<T>`` — size then elements;
 * ``std::string`` — size then raw bytes.
@@ -25,7 +37,7 @@ dlib primitive wire format (dlib/serialize.h):
 
 from __future__ import annotations
 
-from typing import BinaryIO
+from typing import BinaryIO, Dict, List
 
 import numpy as np
 
@@ -67,35 +79,109 @@ class DlibReader:
         return -value if negative else value
 
     def read_float(self) -> float:
-        """float_details: mantissa and exponent as signed integers."""
+        """float_details: mantissa and exponent as signed integers.
+
+        Non-finite encoding (float_details convention): an exponent beyond
+        any finite float32 (≥1024) marks ±inf (mantissa sign) or nan
+        (mantissa 0).
+        """
         mantissa = self.read_int()
         exponent = self.read_int()
+        if exponent >= 1024:
+            if mantissa == 0:
+                return float("nan")
+            return float("inf") if mantissa > 0 else float("-inf")
         return float(mantissa) * (2.0 ** exponent)
 
     def read_string(self) -> str:
         n = self.read_uint()
         return self.read_bytes(n).decode("utf-8", errors="replace")
 
+    def read_floats(self, n: int) -> np.ndarray:
+        return np.asarray([self.read_float() for _ in range(n)],
+                          dtype=np.float64)
+
     def read_matrix(self, dtype=np.float32) -> np.ndarray:
         rows = self.read_int()
         cols = self.read_int()
-        out = np.empty((rows, cols), dtype=np.float64)
-        flat = out.reshape(-1)
-        for i in range(rows * cols):
-            flat[i] = self.read_float()
-        return out.astype(dtype)
+        return self.read_floats(rows * cols).reshape(rows, cols).astype(dtype)
+
+
+class DlibWriter:
+    """Mirror serializer for the wire format ``DlibReader`` parses."""
+
+    def __init__(self, fp: BinaryIO):
+        self.fp = fp
+
+    def write_uint(self, value: int) -> None:
+        if value < 0:
+            raise ValueError("write_uint needs a non-negative value")
+        payload = b""
+        v = value
+        while v:
+            payload += bytes([v & 0xFF])
+            v >>= 8
+        self.fp.write(bytes([len(payload)]) + payload)
+
+    def write_int(self, value: int) -> None:
+        negative = value < 0
+        v = -value if negative else value
+        payload = b""
+        while v:
+            payload += bytes([v & 0xFF])
+            v >>= 8
+        control = len(payload) | (0x10 if negative else 0)
+        self.fp.write(bytes([control]) + payload)
+
+    def write_float(self, value: float) -> None:
+        """float_details encoding — exact for float32 inputs."""
+        value = float(np.float32(value))
+        if not np.isfinite(value):
+            mant = 0 if np.isnan(value) else (1 if value > 0 else -1)
+            self.write_int(mant)
+            self.write_int(2048)
+            return
+        if value == 0.0:
+            self.write_int(0)
+            self.write_int(0)
+            return
+        mant, exp = np.frexp(value)          # value = mant * 2^exp, |mant|<1
+        mantissa = int(round(mant * (1 << 24)))
+        self.write_int(mantissa)
+        self.write_int(int(exp) - 24)
+
+    def write_string(self, s: str) -> None:
+        raw = s.encode("utf-8")
+        self.write_uint(len(raw))
+        self.fp.write(raw)
+
+    def write_floats(self, arr: np.ndarray) -> None:
+        for v in np.asarray(arr, dtype=np.float32).reshape(-1):
+            self.write_float(float(v))
+
+    def write_matrix(self, arr: np.ndarray) -> None:
+        arr = np.asarray(arr)
+        if arr.ndim != 2:
+            raise ValueError("matrix must be 2-D")
+        self.write_int(arr.shape[0])
+        self.write_int(arr.shape[1])
+        self.write_floats(arr)
 
 
 # ---------------------------------------------------------------------------
-# Topology maps each converter must walk (kept in code so the mapping is
-# testable the moment the files exist).
+# shape_predictor_68_face_landmarks.dat
 # ---------------------------------------------------------------------------
-
-#: dlib shape_predictor_68 layout (dlib/image_processing/shape_predictor.h):
-#: version string, initial_shape matrix [136, 1], forests
-#: (cascade_depth=10 × num_trees=500 regression trees: 15 splits
-#: (idx1 uint, idx2 uint, thresh float) + 16 leaf matrices [136, 1]),
-#: anchor_idx (vector<vector<uint>>), deltas (vector<vector<vector2>>).
+# Container layout (dlib/image_processing/shape_predictor.h):
+#   int version (1)
+#   initial_shape : matrix<float> [2*68, 1], interleaved (x0, y0, x1, y1, …)
+#                   in the box-normalized [0,1]² frame
+#   forests : vector<vector<regression_tree>>
+#       regression_tree: vector<split_feature> (heap order, 2^depth − 1)
+#                        + vector<matrix<float> [2*68, 1]> (2^depth leaves)
+#       split_feature: idx1 uint, idx2 uint, thresh float
+#                      (go right when feats[idx1] − feats[idx2] > thresh)
+#   anchor_idx : vector<vector<uint>>   — landmark anchor per pool feature
+#   deltas : vector<vector<(float x, float y)>> — offsets per pool feature
 SHAPE_PREDICTOR_LAYOUT = {
     "cascade_depth": 10,
     "trees_per_cascade": 500,
@@ -106,11 +192,142 @@ SHAPE_PREDICTOR_LAYOUT = {
               "s{k}/thresh, s{k}/leaves)",
 }
 
-#: dlib ResNet-29 (face_recognition_model_v1) layer stack, outermost-first
-#: in the file (dlib serializes the network from the loss inward).  Our
-#: embedder (models/embedder.py) uses the same stack; map conv filters to
-#: HWIO and fold each affine layer into bn {scale, bias} with
-#: mean=0/var=1.
+
+def convert_shape_predictor(path: str) -> Dict:
+    """shape_predictor .dat → `models/landmarks.py` params dict.
+
+    Coordinate conversion: dlib's shape/offset/leaf values live in the
+    box-normalized [0,1]² frame; our cascade runs in the centered [-1,1]²
+    frame (`landmarks.py:predict_cascade`), so shapes map u → 2u−1 and the
+    additive quantities (leaf deltas, pool offsets) scale ×2.  Intensity
+    thresholds are frame-independent and pass through unchanged.
+    """
+    with open(path, "rb") as fp:
+        r = DlibReader(fp)
+        version = r.read_int()
+        if version != 1:
+            raise ValueError(f"unsupported shape_predictor version {version}")
+
+        initial = r.read_matrix().reshape(-1)          # [136] interleaved
+        n_points = initial.shape[0] // 2
+        mean_shape = initial.reshape(n_points, 2) * 2.0 - 1.0
+
+        n_stages = r.read_uint()
+        forests: List[List[Dict]] = []
+        for _ in range(n_stages):
+            n_trees = r.read_uint()
+            trees = []
+            for _ in range(n_trees):
+                n_splits = r.read_uint()
+                i1 = np.empty((n_splits,), dtype=np.int32)
+                i2 = np.empty((n_splits,), dtype=np.int32)
+                th = np.empty((n_splits,), dtype=np.float32)
+                for s in range(n_splits):
+                    i1[s] = r.read_uint()
+                    i2[s] = r.read_uint()
+                    th[s] = r.read_float()
+                n_leaves = r.read_uint()
+                leaves = np.stack(
+                    [r.read_matrix().reshape(-1) for _ in range(n_leaves)]
+                )                                       # [L, 136]
+                trees.append({"i1": i1, "i2": i2, "thresh": th,
+                              "leaves": leaves})
+            forests.append(trees)
+
+        n_anchor_stages = r.read_uint()
+        anchors = []
+        for _ in range(n_anchor_stages):
+            n_pool = r.read_uint()
+            anchors.append(
+                np.asarray([r.read_uint() for _ in range(n_pool)],
+                           dtype=np.int32)
+            )
+        n_delta_stages = r.read_uint()
+        deltas = []
+        for _ in range(n_delta_stages):
+            n_pool = r.read_uint()
+            d = np.empty((n_pool, 2), dtype=np.float32)
+            for p in range(n_pool):
+                d[p, 0] = r.read_float()
+                d[p, 1] = r.read_float()
+            deltas.append(d)
+
+    if not (len(forests) == len(anchors) == len(deltas)):
+        raise ValueError("inconsistent cascade stage counts")
+
+    params: Dict = {"mean_shape": mean_shape.astype(np.float32)}
+    depth = None
+    for k, (trees, anchor, delta) in enumerate(zip(forests, anchors, deltas)):
+        n_splits = len(trees[0]["i1"])
+        d = int(np.log2(n_splits + 1))
+        if (1 << d) - 1 != n_splits:
+            raise ValueError(f"stage {k}: {n_splits} splits is not 2^d - 1")
+        if depth is None:
+            depth = d
+        elif depth != d:
+            raise ValueError("trees of differing depth are unsupported")
+        params[f"s{k}/anchor"] = anchor
+        params[f"s{k}/offset"] = delta * 2.0           # [0,1] → [-1,1] frame
+        params[f"s{k}/i1"] = np.stack([t["i1"] for t in trees])
+        params[f"s{k}/i2"] = np.stack([t["i2"] for t in trees])
+        params[f"s{k}/thresh"] = np.stack([t["thresh"] for t in trees])
+        params[f"s{k}/leaves"] = (
+            np.stack([t["leaves"] for t in trees]) * 2.0
+        ).astype(np.float32)
+    params["n_stages"] = int(len(forests))
+    params["depth"] = int(depth if depth is not None else 3)
+    return params
+
+
+def write_shape_predictor(path: str, params: Dict) -> None:
+    """Export `models/landmarks.py` params to the shape_predictor layout
+    (the reverse coordinate conversion of ``convert_shape_predictor``)."""
+    n_stages = int(params["n_stages"])
+    with open(path, "wb") as fp:
+        w = DlibWriter(fp)
+        w.write_int(1)                                   # version
+        mean = (np.asarray(params["mean_shape"], np.float32) + 1.0) / 2.0
+        w.write_matrix(mean.reshape(-1, 1))
+
+        w.write_uint(n_stages)
+        for k in range(n_stages):
+            i1 = np.asarray(params[f"s{k}/i1"])
+            i2 = np.asarray(params[f"s{k}/i2"])
+            th = np.asarray(params[f"s{k}/thresh"])
+            leaves = np.asarray(params[f"s{k}/leaves"]) / 2.0
+            w.write_uint(i1.shape[0])
+            for t in range(i1.shape[0]):
+                w.write_uint(i1.shape[1])
+                for s in range(i1.shape[1]):
+                    w.write_uint(int(i1[t, s]))
+                    w.write_uint(int(i2[t, s]))
+                    w.write_float(float(th[t, s]))
+                w.write_uint(leaves.shape[1])
+                for l in range(leaves.shape[1]):
+                    w.write_matrix(leaves[t, l].reshape(-1, 1))
+
+        w.write_uint(n_stages)
+        for k in range(n_stages):
+            anchor = np.asarray(params[f"s{k}/anchor"])
+            w.write_uint(anchor.shape[0])
+            for a in anchor:
+                w.write_uint(int(a))
+        w.write_uint(n_stages)
+        for k in range(n_stages):
+            offset = np.asarray(params[f"s{k}/offset"]) / 2.0
+            w.write_uint(offset.shape[0])
+            for p in range(offset.shape[0]):
+                w.write_float(float(offset[p, 0]))
+                w.write_float(float(offset[p, 1]))
+
+
+# ---------------------------------------------------------------------------
+# dlib_face_recognition_resnet_model_v1.dat (ResNet-29)
+# ---------------------------------------------------------------------------
+#: Layer stack, outermost-first as declared in dlib's
+#: dnn_face_recognition_ex.cpp; the serialized STREAM runs input→output
+#: (dlib's add_layer serializes its subnetwork before its own details).
+#: Our embedder (models/embedder.py) implements the same stack.
 RESNET29_LAYER_STACK = [
     "loss_metric", "fc_no_bias<128>", "avg_pool_everything",
     "ares_down<256>",                           # alevel0
@@ -122,29 +339,169 @@ RESNET29_LAYER_STACK = [
     "input_rgb_image_sized<150>",
 ]
 
+# Serialized net container: tag string per node, then that node's fields.
+# Parameter-bearing tags and their field layouts (input→output order):
+#   "con"    : out_ch uint, in_ch uint, nr uint, nc uint, stride_y uint,
+#              stride_x uint, filters matrix [out_ch, in_ch*nr*nc],
+#              biases matrix [1, out_ch]
+#   "affine" : gamma matrix [1, C], beta matrix [1, C]
+#   "fc"     : in uint, out uint, weights matrix [in, out]
+# Structural tags carry no fields: "input", "relu", "max_pool",
+# "avg_pool", "add_prev", "loss_metric".  The stream ends after
+# "loss_metric".
 
-def convert_shape_predictor(path: str):
-    """shape_predictor_68_face_landmarks.dat → models/landmarks.py params.
 
-    Raises FileNotFoundError in environments without the file.  The
-    primitive layer (DlibReader) is implemented; walking the layout above
-    and validating against dlib outputs requires the actual file.
+def convert_face_recognition(path: str) -> Dict:
+    """ResNet-29 .dat → `models/embedder.py` params pytree.
+
+    Walks the tag stream input→output, collecting (conv, affine) pairs and
+    the final fc: conv filters transpose from dlib's
+    ``[out, in*nr*nc]`` row-major blob to HWIO; each ``affine`` layer folds
+    into our inference batch-norm as {scale=γ, bias=β, mean=0,
+    var=1−eps} (so ``rsqrt(var+eps) == 1`` exactly —
+    `models/nn.py:batch_norm`).  Conv order maps onto the stem +
+    `embedder.BLOCK_PLAN` blocks (conv1, conv2 per block).
     """
+    convs: List[Dict] = []
+    affines: List[Dict] = []
+    fc = None
+
     with open(path, "rb") as fp:
-        reader = DlibReader(fp)
-        version = reader.read_string()
-        raise NotImplementedError(
-            f"shape_predictor container walk not yet validated "
-            f"(file version: {version!r}); see SHAPE_PREDICTOR_LAYOUT"
+        r = DlibReader(fp)
+        while True:
+            tag = r.read_string()
+            if tag == "con":
+                out_ch = r.read_uint()
+                in_ch = r.read_uint()
+                nr = r.read_uint()
+                nc = r.read_uint()
+                stride_y = r.read_uint()
+                stride_x = r.read_uint()
+                filt = r.read_matrix().reshape(out_ch, in_ch, nr, nc)
+                bias = r.read_matrix().reshape(out_ch)
+                convs.append({
+                    "w": np.ascontiguousarray(filt.transpose(2, 3, 1, 0)),
+                    "b": bias,
+                    "stride": (stride_y, stride_x),
+                })
+            elif tag == "affine":
+                gamma = r.read_matrix().reshape(-1)
+                beta = r.read_matrix().reshape(-1)
+                affines.append({"gamma": gamma, "beta": beta})
+            elif tag == "fc":
+                n_in = r.read_uint()
+                n_out = r.read_uint()
+                fc = r.read_matrix().reshape(n_in, n_out)
+            elif tag in ("input", "relu", "max_pool", "avg_pool",
+                         "add_prev"):
+                continue
+            elif tag == "loss_metric":
+                break
+            else:
+                raise ValueError(f"unknown layer tag {tag!r}")
+
+    from .embedder import BLOCK_PLAN
+
+    n_convs_needed = 1 + 2 * len(BLOCK_PLAN)
+    if len(convs) != n_convs_needed or len(affines) != n_convs_needed:
+        raise ValueError(
+            f"expected {n_convs_needed} conv/affine pairs "
+            f"(got {len(convs)} convs, {len(affines)} affines)"
         )
+    if fc is None:
+        raise ValueError("missing fc layer")
+
+    eps = 1e-5
+
+    def bn_of(aff: Dict) -> Dict:
+        c = aff["gamma"].shape[0]
+        return {
+            "scale": aff["gamma"].astype(np.float32),
+            "bias": aff["beta"].astype(np.float32),
+            "mean": np.zeros((c,), dtype=np.float32),
+            "var": np.full((c,), 1.0 - eps, dtype=np.float32),
+        }
+
+    params: Dict = {
+        "stem": {"w": convs[0]["w"].astype(np.float32),
+                 "b": convs[0]["b"].astype(np.float32)},
+        "stem_bn": bn_of(affines[0]),
+        "fc": fc.astype(np.float32),
+    }
+    blocks: Dict = {}
+    for i in range(len(BLOCK_PLAN)):
+        c1, c2 = convs[1 + 2 * i], convs[2 + 2 * i]
+        a1, a2 = affines[1 + 2 * i], affines[2 + 2 * i]
+        blocks[f"block{i}"] = {
+            "conv1": {"w": c1["w"].astype(np.float32),
+                      "b": c1["b"].astype(np.float32)},
+            "bn1": bn_of(a1),
+            "conv2": {"w": c2["w"].astype(np.float32),
+                      "b": c2["b"].astype(np.float32)},
+            "bn2": bn_of(a2),
+        }
+    params["blocks"] = blocks
+    return params
 
 
-def convert_face_recognition(path: str):
-    """dlib_face_recognition_resnet_model_v1.dat → embedder params."""
-    with open(path, "rb") as fp:
-        reader = DlibReader(fp)
-        version = reader.read_string()
-        raise NotImplementedError(
-            f"ResNet-29 container walk not yet validated "
-            f"(file version: {version!r}); see RESNET29_LAYER_STACK"
-        )
+def write_face_recognition(path: str, params: Dict) -> None:
+    """Export embedder params to the ResNet-29 container layout (exact
+    reverse of ``convert_face_recognition``; batch-norm statistics fold
+    into the affine: γ = scale·rsqrt(var+eps), β = bias − mean·γ)."""
+    from .embedder import BLOCK_PLAN
+
+    eps = 1e-5
+
+    def aff_of(bn: Dict):
+        scale = np.asarray(bn["scale"], np.float64)
+        var = np.asarray(bn["var"], np.float64)
+        mean = np.asarray(bn["mean"], np.float64)
+        bias = np.asarray(bn["bias"], np.float64)
+        gamma = scale / np.sqrt(var + eps)
+        beta = bias - mean * gamma
+        return gamma.astype(np.float32), beta.astype(np.float32)
+
+    def write_con(w_, conv: Dict, stride):
+        filt = np.asarray(conv["w"])                 # HWIO
+        nr, nc, in_ch, out_ch = filt.shape
+        w_.write_string("con")
+        w_.write_uint(out_ch)
+        w_.write_uint(in_ch)
+        w_.write_uint(nr)
+        w_.write_uint(nc)
+        w_.write_uint(stride[0])
+        w_.write_uint(stride[1])
+        blob = np.ascontiguousarray(filt.transpose(3, 2, 0, 1))
+        w_.write_matrix(blob.reshape(out_ch, in_ch * nr * nc))
+        w_.write_matrix(np.asarray(conv["b"]).reshape(1, -1))
+
+    def write_affine(w_, bn: Dict):
+        gamma, beta = aff_of(bn)
+        w_.write_string("affine")
+        w_.write_matrix(gamma.reshape(1, -1))
+        w_.write_matrix(beta.reshape(1, -1))
+
+    with open(path, "wb") as fp:
+        w = DlibWriter(fp)
+        w.write_string("input")
+        write_con(w, params["stem"], (2, 2))
+        write_affine(w, params["stem_bn"])
+        w.write_string("relu")
+        w.write_string("max_pool")
+        for i, down in enumerate(BLOCK_PLAN):
+            blk = params["blocks"][f"block{i}"]
+            stride = (2, 2) if down else (1, 1)
+            write_con(w, blk["conv1"], stride)
+            write_affine(w, blk["bn1"])
+            w.write_string("relu")
+            write_con(w, blk["conv2"], (1, 1))
+            write_affine(w, blk["bn2"])
+            w.write_string("add_prev")
+            w.write_string("relu")
+        w.write_string("avg_pool")
+        fc = np.asarray(params["fc"])
+        w.write_string("fc")
+        w.write_uint(fc.shape[0])
+        w.write_uint(fc.shape[1])
+        w.write_matrix(fc)
+        w.write_string("loss_metric")

@@ -77,12 +77,21 @@ class FusedFacePipeline:
 
     def __init__(self, detector_params: Optional[Params] = None,
                  embedder_params: Optional[Params] = None,
+                 landmark_params: Optional[dict] = None,
                  threshold: float = DEFAULT_THRESHOLD, nms_iou: float = 0.3,
                  upsample: int = 0, max_faces: int = MAX_FACES):
         from .weights import default_detector_params, default_embedder_params
+        from .landmarks import LandmarkPredictor
 
         self.detector_params = detector_params or default_detector_params()
         self.embedder_params = embedder_params or default_embedder_params()
+        if landmark_params is None:
+            landmark_params = LandmarkPredictor().params
+        self.landmark_params = landmark_params
+        self.landmark_arrays = {
+            k: v for k, v in landmark_params.items()
+            if k not in ("n_stages", "depth")
+        }
         self.threshold = threshold
         self.nms_iou = nms_iou
         self.upsample = upsample
@@ -102,8 +111,18 @@ class FusedFacePipeline:
         threshold = self.threshold
         nms_iou = self.nms_iou
 
+        # the cascade's stage/depth counts are static (they set the loop
+        # structure); only the weight arrays travel as jit arguments — big
+        # closure constants stall the remote TPU compiler
+        lm_static = {
+            "n_stages": int(self.landmark_params.get("n_stages", 0)),
+            "depth": int(self.landmark_params.get("depth", 3)),
+        }
+        has_cascade = lm_static["n_stages"] > 0
+
         @jax.jit
-        def fused(det_params, emb_params, frames_u8):
+        def fused(det_params, emb_params, lm_arrays, frames_u8):
+            lm_params = {**lm_arrays, **lm_static}
             frames = frames_u8.astype(jnp.float32)
             B = frames.shape[0]
 
@@ -122,12 +141,22 @@ class FusedFacePipeline:
             nms_fn = lambda b, s: _device_nms(b, s, nms_iou, max_faces)
             sel_boxes, sel_scores, valid = jax.vmap(nms_fn)(boxes, scores)
 
-            # landmarks: mean shape in box (the ERT cascade refines these
-            # when a landmark model is attached — pipeline/face.py)
+            # landmarks: the trained ERT cascade runs INSIDE the fused
+            # program on per-face crops (reference extract path,
+            # `face/face.py:69-76`); mean-shape placement only when no
+            # cascade weights are available
             flat_boxes = sel_boxes.reshape(B * max_faces, 4)
-            landmarks = box_to_landmarks(flat_boxes)  # [B*M, 68, 2]
-
             frame_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), max_faces)
+            if has_cascade:
+                from .landmarks import predict_crops
+                from ..ops.color import to_gray
+
+                landmarks = predict_crops(
+                    lm_params, to_gray(frames_u8), frame_idx, flat_boxes
+                )  # [B*M, 68, 2]
+            else:
+                landmarks = box_to_landmarks(flat_boxes)  # [B*M, 68, 2]
+
             chips = extract_chips(frames_u8, frame_idx, landmarks)
             embeddings = emb.forward(emb_params, chips, train=False)[0]
 
@@ -148,5 +177,6 @@ class FusedFacePipeline:
         if key not in self._jitted:
             self._jitted[key] = self._build(H, W)
         return self._jitted[key](
-            self.detector_params, self.embedder_params, jnp.asarray(frames)
+            self.detector_params, self.embedder_params, self.landmark_arrays,
+            jnp.asarray(frames),
         )

@@ -123,6 +123,61 @@ def predict_cascade(params: Dict, grays: jnp.ndarray, boxes: jnp.ndarray):
     return jnp.stack([x, y], axis=-1)
 
 
+CROP = 128          # cascade sampling-domain resolution
+CROP_SCALE = 2.0    # crop window covers CROP_SCALE × the detection box
+
+
+def predict_crops(params: Dict, grays: jnp.ndarray, frame_idx: jnp.ndarray,
+                  boxes: jnp.ndarray) -> jnp.ndarray:
+    """Cascade over per-face crops instead of full frames.
+
+    Extracts one CROP×CROP gray window covering ``CROP_SCALE ×`` each
+    detection box (structured access: contiguous ROI + separable 2-tap
+    resample — per-pixel gathers are scalar-bound on TPU), runs the cascade
+    in crop coordinates (the feature pool's ±0.25 normalized offsets stay
+    well inside the window) and maps the landmarks back to frame pixels.
+    This keeps the cascade inside large fused programs without gathering
+    whole frames per face.
+
+    grays [T, H, W] float32, frame_idx [N] int32, boxes [N, 4] pixel
+    coords → landmarks [N, 68, 2] pixel coords.
+    """
+    from ..ops.warp import crop_resize_chips
+
+    N = boxes.shape[0]
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    w = jnp.maximum(boxes[:, 2] - boxes[:, 0], 2.0)
+    h = jnp.maximum(boxes[:, 3] - boxes[:, 1], 2.0)
+    region_w = CROP_SCALE * w
+    region_h = CROP_SCALE * h
+    sx = region_w / CROP
+    sy = region_h / CROP
+    ox = cx - region_w / 2.0
+    oy = cy - region_h / 2.0
+
+    zeros = jnp.zeros_like(sx)
+    matrices = jnp.stack(
+        [jnp.stack([sx, zeros, ox], axis=1),
+         jnp.stack([zeros, sy, oy], axis=1)], axis=1,
+    )  # [N, 2, 3] chip → image
+    crops = crop_resize_chips(
+        grays[..., None], frame_idx.astype(jnp.int32), matrices, CROP, CROP
+    )[..., 0]  # [N, CROP, CROP]
+
+    # detection box in crop coordinates (identical for every face)
+    q = CROP / (2.0 * CROP_SCALE)
+    cbox = jnp.broadcast_to(
+        jnp.asarray([CROP / 2 - q, CROP / 2 - q, CROP / 2 + q, CROP / 2 + q],
+                    dtype=jnp.float32),
+        (N, 4),
+    )
+    lm = predict_cascade(params, crops, cbox)  # [N, 68, 2] crop coords
+    x = ox[:, None] + lm[..., 0] * sx[:, None]
+    y = oy[:, None] + lm[..., 1] * sy[:, None]
+    return jnp.stack([x, y], axis=-1)
+
+
 class LandmarkPredictor:
     """Loads a trained cascade; mirrors ``dlib.shape_predictor(path)``."""
 
@@ -140,6 +195,7 @@ class LandmarkPredictor:
             else:
                 self.params = mean_shape_only()
         self._jit = jax.jit(partial(predict_cascade, self.params))
+        self._jit_crops = jax.jit(partial(predict_crops, self.params))
 
     def predict_batch(self, frames: np.ndarray, frame_idx: np.ndarray,
                       boxes: np.ndarray) -> np.ndarray:
@@ -151,10 +207,10 @@ class LandmarkPredictor:
             grays = to_gray(jnp.asarray(frames))
         else:
             grays = jnp.asarray(frames, dtype=jnp.float32)
-        grays_sel = jnp.take(grays, jnp.asarray(frame_idx, dtype=jnp.int32),
-                             axis=0)
         return np.asarray(
-            self._jit(grays_sel, jnp.asarray(boxes, dtype=jnp.float32))
+            self._jit_crops(grays,
+                            jnp.asarray(frame_idx, dtype=jnp.int32),
+                            jnp.asarray(boxes, dtype=jnp.float32))
         )
 
 

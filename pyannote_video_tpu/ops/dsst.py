@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .warp import affine_warp
+
 
 P = 64                 # patch resolution (P × P)
 PATCH_SCALE = 2.0      # tracked box occupies 1/PATCH_SCALE of the patch
@@ -88,32 +88,60 @@ def _gaussian_target_fft() -> jnp.ndarray:
     return jnp.fft.rfft2(g)
 
 
-def _extract_patch(gray: jnp.ndarray, pos: jnp.ndarray, size: jnp.ndarray,
-                   rel_scale: jnp.ndarray) -> jnp.ndarray:
-    """Sample one P×P patch covering PATCH_SCALE×size×rel_scale at pos."""
-    region = PATCH_SCALE * size * rel_scale  # (h, w)
-    top = pos[0] - region[0] / 2.0
-    left = pos[1] - region[1] / 2.0
-    sy = region[0] / P
-    sx = region[1] / P
-    matrix = jnp.asarray(
-        [[sx, 0.0, left], [0.0, sy, top]], dtype=jnp.float32
+def _extract_patches(gray: jnp.ndarray, pos: jnp.ndarray, size: jnp.ndarray,
+                     rel_scales: jnp.ndarray) -> jnp.ndarray:
+    """Batched patch sampling: [N slots] × [S scales] → [N, S, P, P].
+
+    Patch (n, s) covers ``PATCH_SCALE × size[n] × rel_scales[s]`` centred at
+    ``pos[n]``.  Uses structured access (contiguous ROI ``dynamic_slice`` +
+    separable 2-tap ``take_along_axis`` resampling — `ops/warp.py:
+    crop_resize_chips`) instead of per-pixel bilinear gathers: on TPU,
+    Mosaic lowers fused gathers to ~1 element/cycle scalar loops, which
+    made patch extraction 84% of the tracking step (10 ms/frame at 720p,
+    measured); the separable form runs at vector width.  Patch regions
+    larger than the 512-pixel ROI (faces above ~245 px) are edge-clamped.
+    """
+    from .warp import crop_resize_chips
+
+    N = pos.shape[0]
+    S = rel_scales.shape[0]
+    region = (PATCH_SCALE * size[:, None, :]
+              * rel_scales[None, :, None])              # [N, S, 2] (h, w)
+    top = pos[:, None, 0] - region[..., 0] / 2.0
+    left = pos[:, None, 1] - region[..., 1] / 2.0
+    sy = region[..., 0] / P
+    sx = region[..., 1] / P
+    zeros = jnp.zeros_like(sx)
+    matrices = jnp.stack(
+        [jnp.stack([sx, zeros, left], axis=-1),
+         jnp.stack([zeros, sy, top], axis=-1)], axis=-2,
+    ).reshape(N * S, 2, 3)
+    out = crop_resize_chips(
+        gray[None, :, :, None],
+        jnp.zeros((N * S,), dtype=jnp.int32),
+        matrices, P, P,
     )
-    return affine_warp(gray, matrix, P, P)
+    return out[..., 0].reshape(N, S, P, P)
 
 
 def _features(patch: jnp.ndarray, hann: jnp.ndarray) -> jnp.ndarray:
-    """MOSSE preprocessing: log, standardize, cosine window."""
+    """MOSSE preprocessing: log, standardize, cosine window.
+
+    Works on any [..., P, P] batch (statistics per patch).
+    """
     f = jnp.log1p(patch)
-    f = f - f.mean()
-    f = f / (jnp.sqrt((f**2).mean()) + 1e-5)
+    f = f - f.mean(axis=(-2, -1), keepdims=True)
+    f = f / (jnp.sqrt((f**2).mean(axis=(-2, -1), keepdims=True)) + 1e-5)
     return f * hann
 
 
-def _slot_fft(gray: jnp.ndarray, pos: jnp.ndarray, size: jnp.ndarray,
-              hann: jnp.ndarray) -> jnp.ndarray:
-    patch = _extract_patch(gray, pos, size, jnp.float32(1.0))
-    return jnp.fft.rfft2(_features(patch, hann))
+def _slot_ffts(gray: jnp.ndarray, pos: jnp.ndarray, size: jnp.ndarray,
+               hann: jnp.ndarray) -> jnp.ndarray:
+    """rfft2 of the scale-1 feature patch for every slot: [N, P, Pr]."""
+    patches = _extract_patches(
+        gray, pos, size, jnp.ones((1,), dtype=jnp.float32)
+    )[:, 0]
+    return jnp.fft.rfft2(_features(patches, hann))
 
 
 @jax.jit
@@ -137,7 +165,7 @@ def start_tracks(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     )
     size = jnp.maximum(size, 4.0)
 
-    F = jax.vmap(lambda p, s: _slot_fft(gray, p, s, hann))(pos, size)
+    F = _slot_ffts(gray, pos, size, hann)
     num = G[None] * jnp.conj(F)
     num_re = num.real
     num_im = num.imag
@@ -182,7 +210,7 @@ def restart_slots(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     )
     size = jnp.maximum(size, 4.0)
 
-    F = jax.vmap(lambda p, s: _slot_fft(gray, p, s, hann))(pos, size)
+    F = _slot_ffts(gray, pos, size, hann)
     num = G[None] * jnp.conj(F)
     den = (F * jnp.conj(F)).real
 
@@ -211,71 +239,72 @@ def step(state: TrackState, gray: jnp.ndarray,
     G = _gaussian_target_fft()
     scale_steps = jnp.asarray(SCALE_STEPS, dtype=jnp.float32)
 
-    def one(pos, size, num_re, num_im, den, alive):
-        patches = jax.vmap(
-            lambda rs: _features(_extract_patch(gray, pos, size, rs), hann)
-        )(scale_steps)
-        Fz = jnp.fft.rfft2(patches)
-        num = jax.lax.complex(num_re, num_im)
-        resp = jnp.fft.irfft2(Fz * num[None] / (den[None] + LAMBDA), s=(P, P))
+    # ALL slots × scales sampled in one structured-access batch, then the
+    # whole response stack in two batched FFTs — no per-slot loops
+    patches = _extract_patches(gray, state.pos, state.size, scale_steps)
+    Fz = jnp.fft.rfft2(_features(patches, hann))          # [N, S, P, Pr]
+    num = jax.lax.complex(state.num_re, state.num_im)
+    resp = jnp.fft.irfft2(
+        Fz * num[:, None] / (state.den[:, None] + LAMBDA), s=(P, P)
+    )                                                      # [N, S, P, P]
 
-        def psr_of(r):
-            flat_idx = jnp.argmax(r.reshape(-1))
-            py = flat_idx // P
-            px = flat_idx % P
-            peak = r.reshape(-1)[flat_idx]
-            idx = jnp.arange(P)
-            dy = jnp.minimum(jnp.abs(idx - py), P - jnp.abs(idx - py))
-            dx = jnp.minimum(jnp.abs(idx - px), P - jnp.abs(idx - px))
-            side = (dy[:, None] > PSR_WINDOW) | (dx[None, :] > PSR_WINDOW)
-            n_side = jnp.maximum(jnp.sum(side), 1)
-            mu = jnp.sum(r * side) / n_side
-            var = jnp.sum(((r - mu) ** 2) * side) / n_side
-            return (peak - mu) / jnp.sqrt(var + 1e-8), py, px
+    def psr_of(r):
+        flat_idx = jnp.argmax(r.reshape(-1))
+        py = flat_idx // P
+        px = flat_idx % P
+        peak = r.reshape(-1)[flat_idx]
+        idx = jnp.arange(P)
+        dy = jnp.minimum(jnp.abs(idx - py), P - jnp.abs(idx - py))
+        dx = jnp.minimum(jnp.abs(idx - px), P - jnp.abs(idx - px))
+        side = (dy[:, None] > PSR_WINDOW) | (dx[None, :] > PSR_WINDOW)
+        n_side = jnp.maximum(jnp.sum(side), 1)
+        mu = jnp.sum(r * side) / n_side
+        var = jnp.sum(((r - mu) ** 2) * side) / n_side
+        return (peak - mu) / jnp.sqrt(var + 1e-8), py, px
 
-        # scale selection by PSR, not raw peak: a freshly-initialised MOSSE
-        # filter (one training frame) has denominator nulls that spuriously
-        # amplify off-scale response SPIKES past the true peak, but such
-        # spikes have poor peak-to-sidelobe ratio; PSR is self-normalising
-        # (dlib's DSST avoids this with its separate 1-D scale filter).
-        # Off-unity scales additionally pay a change penalty.
-        psrs, pys, pxs = jax.vmap(psr_of)(resp)
-        scale_penalty = jnp.asarray(
-            [1.0 if s == 1.0 else SCALE_PENALTY for s in SCALE_STEPS],
-            dtype=jnp.float32,
-        )
-        s_best = jnp.argmax(psrs * scale_penalty)
-        psr = psrs[s_best]
-        py = pys[s_best]
-        px = pxs[s_best]
-
-        dy_pix = jnp.where(py <= P // 2, py, py - P).astype(jnp.float32)
-        dx_pix = jnp.where(px <= P // 2, px, px - P).astype(jnp.float32)
-        rel = scale_steps[s_best]
-        region = PATCH_SCALE * size * rel
-        new_pos = pos + jnp.stack(
-            [dy_pix * region[0] / P, dx_pix * region[1] / P]
-        )
-        new_size = jnp.maximum(size * rel, 4.0)
-
-        Fn = _slot_fft(gray, new_pos, new_size, hann)
-        upd = G * jnp.conj(Fn)
-        new_num_re = (1.0 - ETA) * num_re + ETA * upd.real
-        new_num_im = (1.0 - ETA) * num_im + ETA * upd.imag
-        new_den = (1.0 - ETA) * den + ETA * (Fn * jnp.conj(Fn)).real
-
-        pos_o = jnp.where(alive, new_pos, pos)
-        size_o = jnp.where(alive, new_size, size)
-        num_re_o = jnp.where(alive, new_num_re, num_re)
-        num_im_o = jnp.where(alive, new_num_im, num_im)
-        den_o = jnp.where(alive, new_den, den)
-        conf = jnp.where(alive, psr, -jnp.inf)
-        return pos_o, size_o, num_re_o, num_im_o, den_o, conf
-
-    pos, size, num_re, num_im, den, conf = jax.vmap(one)(
-        state.pos, state.size, state.num_re, state.num_im, state.den,
-        state.alive
+    # scale selection by PSR, not raw peak: a freshly-initialised MOSSE
+    # filter (one training frame) has denominator nulls that spuriously
+    # amplify off-scale response SPIKES past the true peak, but such
+    # spikes have poor peak-to-sidelobe ratio; PSR is self-normalising
+    # (dlib's DSST avoids this with its separate 1-D scale filter).
+    # Off-unity scales additionally pay a change penalty.
+    psrs, pys, pxs = jax.vmap(jax.vmap(psr_of))(resp)      # [N, S] each
+    scale_penalty = jnp.asarray(
+        [1.0 if s == 1.0 else SCALE_PENALTY for s in SCALE_STEPS],
+        dtype=jnp.float32,
     )
+    s_best = jnp.argmax(psrs * scale_penalty[None], axis=1)  # [N]
+
+    def sel(a):
+        return jnp.take_along_axis(a, s_best[:, None], axis=1)[:, 0]
+
+    psr = sel(psrs)
+    py = sel(pys)
+    px = sel(pxs)
+
+    dy_pix = jnp.where(py <= P // 2, py, py - P).astype(jnp.float32)
+    dx_pix = jnp.where(px <= P // 2, px, px - P).astype(jnp.float32)
+    rel = scale_steps[s_best]                              # [N]
+    region = PATCH_SCALE * state.size * rel[:, None]
+    new_pos = state.pos + jnp.stack(
+        [dy_pix * region[:, 0] / P, dx_pix * region[:, 1] / P], axis=1
+    )
+    new_size = jnp.maximum(state.size * rel[:, None], 4.0)
+
+    Fn = _slot_ffts(gray, new_pos, new_size, hann)
+    upd = G[None] * jnp.conj(Fn)
+    new_num_re = (1.0 - ETA) * state.num_re + ETA * upd.real
+    new_num_im = (1.0 - ETA) * state.num_im + ETA * upd.imag
+    new_den = (1.0 - ETA) * state.den + ETA * (Fn * jnp.conj(Fn)).real
+
+    a1 = state.alive[:, None]
+    a3 = state.alive[:, None, None]
+    pos = jnp.where(a1, new_pos, state.pos)
+    size = jnp.where(a1, new_size, state.size)
+    num_re = jnp.where(a3, new_num_re, state.num_re)
+    num_im = jnp.where(a3, new_num_im, state.num_im)
+    den = jnp.where(a3, new_den, state.den)
+    conf = jnp.where(state.alive, psr, -jnp.inf)
     alive = state.alive & (conf >= min_confidence)
     boxes = jnp.stack(
         [pos[:, 1] - size[:, 1] / 2, pos[:, 0] - size[:, 0] / 2,

@@ -88,7 +88,8 @@ def run_dryrun(n_devices: int) -> None:
         data_sharding(mesh),
     )
     with mesh:
-        out = fused(pipe.detector_params, pipe.embedder_params, frames)
+        out = fused(pipe.detector_params, pipe.embedder_params,
+                    pipe.landmark_arrays, frames)
         jax.block_until_ready(out.scores)
     print(f"dryrun[fused]: frames={fb}x96x128 dp={dp} "
           f"emb={tuple(out.embeddings.shape)} OK")

@@ -199,3 +199,109 @@ class TestFused:
                 for k in range(4) if valid[fidx, k]
             ]
             assert found and max(found) > 0.4
+
+
+class TestDlibConvert:
+    """Round-trip the container walks through the mirror serializer
+    (write → convert → forward); dlib's primitive wire format is exact for
+    float32, so conversions must be bit-faithful."""
+
+    def test_primitive_roundtrip(self, tmp_path):
+        import io
+        from pyannote_video_tpu.models.dlib_convert import DlibReader, DlibWriter
+
+        buf = io.BytesIO()
+        w = DlibWriter(buf)
+        ints = [0, 1, -1, 255, -256, 2**31 - 1, -(2**31), 2**53]
+        for v in ints:
+            w.write_int(v)
+        w.write_uint(0)
+        w.write_uint(2**40)
+        floats = [0.0, 1.0, -1.5, 3.14159265, 1e-20, -7e11]
+        for v in floats:
+            w.write_float(v)
+        w.write_string("shape_predictor")
+        mat = np.random.default_rng(0).normal(size=(5, 3)).astype(np.float32)
+        w.write_matrix(mat)
+
+        buf.seek(0)
+        r = DlibReader(buf)
+        for v in ints:
+            assert r.read_int() == v
+        assert r.read_uint() == 0
+        assert r.read_uint() == 2**40
+        for v in floats:
+            assert r.read_float() == np.float32(v)
+        assert r.read_string() == "shape_predictor"
+        np.testing.assert_array_equal(r.read_matrix(), mat)
+
+    def test_shape_predictor_roundtrip(self, tmp_path, episode):
+        from pyannote_video_tpu.models.dlib_convert import (
+            convert_shape_predictor, write_shape_predictor,
+        )
+        from pyannote_video_tpu.models.landmarks import (
+            LandmarkPredictor, predict_crops,
+        )
+        from pyannote_video_tpu.ops.color import to_gray
+        import jax.numpy as jnp
+
+        orig = LandmarkPredictor().params  # packaged synthetic cascade
+        path = str(tmp_path / "toy_shape_predictor.dat")
+        write_shape_predictor(path, orig)
+        conv = convert_shape_predictor(path)
+
+        assert conv["n_stages"] == int(orig["n_stages"])
+        assert conv["depth"] == int(orig["depth"])
+        for k in orig:
+            if k in ("n_stages", "depth"):
+                continue
+            np.testing.assert_allclose(
+                np.asarray(conv[k]), np.asarray(orig[k]),
+                rtol=0, atol=1e-6, err_msg=k,
+            )
+
+        # converted cascade predicts identically on a real image
+        grays = to_gray(jnp.asarray(episode.frames[:1]))
+        box = np.asarray([episode.faces_at(0)[0].box], np.float32)
+        fidx = jnp.zeros((1,), jnp.int32)
+        lm_orig = np.asarray(predict_crops(
+            {k: jnp.asarray(v) if not np.isscalar(v) else v
+             for k, v in orig.items()}, grays, fidx, jnp.asarray(box)))
+        conv_j = dict(conv)
+        conv_j = {k: (v if k in ("n_stages", "depth") else jnp.asarray(v))
+                  for k, v in conv_j.items()}
+        lm_conv = np.asarray(predict_crops(conv_j, grays, fidx,
+                                           jnp.asarray(box)))
+        np.testing.assert_allclose(lm_conv, lm_orig, atol=1e-3)
+
+    def test_resnet29_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from pyannote_video_tpu.models import embedder
+        from pyannote_video_tpu.models.dlib_convert import (
+            convert_face_recognition, write_face_recognition,
+        )
+
+        orig = embedder.init_params(jax.random.PRNGKey(3), width=0.125)
+        path = str(tmp_path / "toy_resnet29.dat")
+        write_face_recognition(path, orig)
+        conv = convert_face_recognition(path)
+
+        rng = np.random.default_rng(1)
+        chips = jnp.asarray(
+            rng.integers(0, 255, (2, 150, 150, 3)), dtype=jnp.float32
+        )
+        emb_orig, _ = embedder.forward(orig, chips, train=False,
+                                       compute_dtype=jnp.float32)
+        conv_j = jax.tree_util.tree_map(jnp.asarray, conv)
+        emb_conv, _ = embedder.forward(conv_j, chips, train=False,
+                                       compute_dtype=jnp.float32)
+        emb_orig = np.asarray(emb_orig)
+        emb_conv = np.asarray(emb_conv)
+        cos = np.sum(emb_orig * emb_conv, axis=1) / (
+            np.linalg.norm(emb_orig, axis=1)
+            * np.linalg.norm(emb_conv, axis=1)
+        )
+        # BASELINE.md parity bar: cosine distance <= 1e-3; the round-trip
+        # through the exact wire format should be far tighter
+        assert np.all(1.0 - cos <= 1e-5), cos

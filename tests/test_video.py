@@ -197,3 +197,33 @@ class TestSyntheticEpisode:
         e1 = synthetic_episode(n_shots=2, shot_frames=4, width=48, height=36, seed=9)
         e2 = synthetic_episode(n_shots=2, shot_frames=4, width=48, height=36, seed=9)
         np.testing.assert_array_equal(e1.frames, e2.frames)
+
+
+class TestTimeGrid:
+    """`timestamps()` and `iterbatches` must share one drift-safe grid
+    (round-1 gap: iterbatches used np.arange, which can emit a phantom
+    tail frame on resumed runs with nonzero start)."""
+
+    def test_resumed_nonzero_start_grids_match(self):
+        from pyannote_video_tpu.io.video import Video
+
+        frames = np.zeros((50, 32, 32, 3), dtype=np.uint8)
+        # start/end/step chosen so (end-start)/step is a float-noisy
+        # integer: arange would yield an extra phantom tail frame
+        v = Video(frames, fps=30.0, start=0.7, end=1.6, step=0.1)
+        ts = v.timestamps()
+        assert len(ts) == 9, ts
+
+        batched = []
+        for bts, bframes in v.iterbatches(4):
+            assert len(bts) == len(bframes)
+            batched.extend(bts)
+        np.testing.assert_allclose(batched, ts)
+
+    def test_grid_matches_iterframes(self):
+        from pyannote_video_tpu.io.video import Video
+
+        frames = np.zeros((30, 16, 16, 3), dtype=np.uint8)
+        v = Video(frames, fps=25.0, step=0.2)
+        ts = [t for t, _ in v.iterframes(with_time=True)]
+        np.testing.assert_allclose(ts, v.timestamps())
