@@ -1,10 +1,22 @@
 """End-to-end quality evaluation on synthetic episodes with ground truth.
 
-Runs the full reference pipeline (shots → tracking → landmarks/embeddings →
-clustering) on procedurally generated episodes and reports the BASELINE.md
-quality metrics: shot-boundary F1, per-frame track F1, cluster purity.
-No media files exist in this environment, so this harness stands in for the
-pyannote-data sample episode protocol (BASELINE.md "Measurement protocol").
+Runs the full reference pipeline (shots → threads/scenes → tracking →
+landmarks/embeddings → clustering) on a procedurally generated episode and
+reports the BASELINE.md quality metrics plus structure/landmark quality:
+
+* shot-boundary F1 (reference `structure/shot.py` semantics);
+* thread pairwise-F1 and scene pairwise-F1 against the episode's camera
+  pattern (reference `structure/thread.py:171-249`);
+* per-frame track F1, precision, recall;
+* landmark mean error (inter-ocular-normalised, vs rendered GT points);
+* cluster purity AND pairwise recall — recall exposes cross-shot
+  under-merging that purity alone hides (round-1 known gap).
+
+Scale: 12 shots × 480p with 6 recurring identities (each appears in two
+different shots, so same-identity cross-shot merging is actually
+exercised).  No media files exist in this environment, so this harness
+stands in for the pyannote-data sample episode protocol (BASELINE.md
+"Measurement protocol").
 
 Usage:  python evals/eval_synthetic.py [seed]
 """
@@ -28,22 +40,43 @@ from pyannote_video_tpu.models.weights import default_embedder_params
 from pyannote_video_tpu.pipeline.clustering import FaceClustering
 from pyannote_video_tpu.pipeline.face_tracking import FaceTracking
 from pyannote_video_tpu.pipeline.shot import Shot
+from pyannote_video_tpu.pipeline.thread import Thread, scenes_from_threads
 from pyannote_video_tpu.utils.metrics import (
     boundary_f1,
     cluster_purity,
+    iou_xyxy,
+    pairwise_prf,
     track_frame_f1,
 )
 from pyannote_video_tpu.utils.synthetic import synthetic_episode
 from pyannote_video_tpu.core import formats
 
+# camera pattern: three A/B-alternating pairs → thread GT = pattern id,
+# scene GT = [0]*4 + [1]*4 + [2]*4 (intertwined pairs merge into scenes)
+THREAD_PATTERN = [0, 1, 0, 1, 2, 3, 2, 3, 4, 5, 4, 5]
+SCENE_TRUTH = [0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2]
 
-def evaluate(seed: int = 101, n_shots: int = 4, shot_frames: int = 24,
-             width: int = 160, height: int = 120) -> dict:
+
+def _segment_label_map(annotation, shots):
+    """Annotation → {shot_index: label} by segment identity."""
+    seg_label = {}
+    for segment, _, label in annotation.itertracks(yield_label=True):
+        seg_label[(round(segment.start, 6), round(segment.end, 6))] = label
+    out = {}
+    for i, s in enumerate(shots):
+        out[i] = seg_label.get((round(s.start, 6), round(s.end, 6)))
+    return out
+
+
+def evaluate(seed: int = 101, n_shots: int = 12, shot_frames: int = 20,
+             width: int = 640, height: int = 480,
+             n_identities: int = 6) -> dict:
     import jax.numpy as jnp
 
     ep = synthetic_episode(
         n_shots=n_shots, shot_frames=shot_frames, width=width, height=height,
-        seed=seed, face_height_ratio=0.45, n_identities=2,
+        seed=seed, face_height_ratio=0.4, n_identities=n_identities,
+        thread_pattern=THREAD_PATTERN[:n_shots],
     )
     video = Video(ep.frames, fps=ep.fps)
     t_start = time.time()
@@ -52,6 +85,43 @@ def evaluate(seed: int = 101, n_shots: int = 4, shot_frames: int = 24,
     shots = list(Shot(video, threshold=2.0))
     bf1 = boundary_f1([s.end for s in shots[:-1]], ep.cuts,
                       tolerance=1.5 / ep.fps)
+
+    # --- threads & scenes (camera-pattern ground truth) --------------------
+    gt_shots = [Segment(s, e) for s, e in ep.shots]
+    threads = Thread(video, shot=gt_shots, lookahead=5)()
+    thread_map = _segment_label_map(threads, gt_shots)
+    thread_truth = {i: THREAD_PATTERN[i] for i in range(n_shots)}
+    thread_prf = pairwise_prf(thread_map, thread_truth)
+
+    scenes = scenes_from_threads(threads)
+    scene_map = _segment_label_map(
+        scenes, [Segment(s.start, s.end)
+                 for s, _, _ in scenes.itertracks(yield_label=True)])
+    # map scenes back onto shots by containment
+    shot_scene = {}
+    for i, s in enumerate(gt_shots):
+        mid = (s.start + s.end) / 2
+        for segment, _, label in scenes.itertracks(yield_label=True):
+            if segment.start <= mid <= segment.end:
+                shot_scene[i] = label
+                break
+    scene_truth = {i: SCENE_TRUTH[i] for i in range(n_shots)}
+    scene_prf = pairwise_prf(shot_scene, scene_truth)
+
+    # --- landmarks (inter-ocular-normalised mean error) --------------------
+    predictor = LandmarkPredictor()
+    lm_errors = []
+    for shot_idx in range(n_shots):
+        f = shot_idx * shot_frames + shot_frames // 2
+        obs = ep.faces_at(f)[0]
+        pred = predictor.predict_batch(
+            ep.frames[f][None], np.zeros(1, dtype=np.int32),
+            np.asarray([obs.box], dtype=np.float32))[0]
+        gt = obs.landmarks
+        eye_dist = np.linalg.norm(gt[36:42].mean(0) - gt[42:48].mean(0))
+        lm_errors.append(
+            float(np.linalg.norm(pred - gt, axis=1).mean() / eye_dist))
+    landmark_err = float(np.mean(lm_errors))
 
     # --- tracking --------------------------------------------------------
     tracking = FaceTracking(detect_every=0.2, track_max_gap=1.0)
@@ -64,14 +134,12 @@ def evaluate(seed: int = 101, n_shots: int = 4, shot_frames: int = 24,
                 (l * width, tp_ * height, r * width, b * height)
             )
     truth = {}
-    truth_ident = {}
     for f in range(len(ep.frames)):
         t = round(f / ep.fps, 5)
         truth[t] = [o.box for o in ep.faces_at(f)]
     tf1 = track_frame_f1(predicted, truth)
 
     # --- embeddings per track (landmark-aligned) ---------------------------
-    predictor = LandmarkPredictor()
     embedder = FaceEmbedder(params=default_embedder_params())
     rows = []
     for tid, trk in enumerate(tracks):
@@ -119,22 +187,29 @@ def evaluate(seed: int = 101, n_shots: int = 4, shot_frames: int = 24,
                 continue
             box = (l * width, tp_ * height, r * width, b * height)
             for o in ep.faces_at(f):
-                from pyannote_video_tpu.utils.metrics import iou_xyxy
-
                 if iou_xyxy(box, o.box) > 0.3:
                     votes[o.face_id] = votes.get(o.face_id, 0) + 1
         truth_ident[tid] = max(votes, key=votes.get) if votes else -1
     purity = cluster_purity(assignment, truth_ident)
+    cluster_prf = pairwise_prf(assignment, truth_ident)
 
     wall = time.time() - t_start
     return {
         "seed": seed,
+        "config": f"{n_shots} shots x {shot_frames} frames @ "
+                  f"{width}x{height}, {n_identities} identities",
         "boundary_f1": round(bf1["f1"], 3),
+        "thread_f1": round(thread_prf["f1"], 3),
+        "scene_f1": round(scene_prf["f1"], 3),
+        "landmark_err_interocular": round(landmark_err, 4),
         "track_f1": round(tf1["f1"], 3),
         "track_precision": round(tf1["precision"], 3),
         "track_recall": round(tf1["recall"], 3),
         "cluster_purity": round(purity, 3),
+        "cluster_recall": round(cluster_prf["recall"], 3),
+        "cluster_precision": round(cluster_prf["precision"], 3),
         "n_tracks": len(tracks),
+        "n_clusters": len(set(assignment.values())),
         "wall_s": round(wall, 1),
     }
 

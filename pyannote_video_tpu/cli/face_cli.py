@@ -61,6 +61,14 @@ Face tracking options (track):
                             tracked shot in <tracking> (extension; shots are
                             independent work units so per-shot restart is
                             exact).
+  --rank=<r>                Multi-worker mode (extension): this worker's
+                            rank; processes shots where index mod world ==
+                            rank and writes <tracking>.part<r> [default: 0].
+  --world=<w>               Total number of workers; rank 0 merges the
+                            part files into <tracking> once all workers
+                            have finished [default: 1].
+  --coordinator=<addr>      host:port of the jax.distributed coordinator
+                            (only needed on multi-host TPU slices).
 
 Feature extraction options (extract):
 
@@ -98,18 +106,29 @@ def track(video, shot_path, output,
           detect_min_size=0.0, detect_every=0.0,
           track_min_overlap_ratio=MIN_OVERLAP_RATIO,
           track_min_confidence=MIN_CONFIDENCE,
-          track_max_gap=MAX_GAP, resume=False, verbose=False):
+          track_max_gap=MAX_GAP, resume=False, verbose=False,
+          rank=0, world=1, coordinator=None):
     """Tracking by detection (reference `pyannote-face.py:239-269`).
 
     With ``resume=True``, restarts from the shot containing the last
     written timestamp: shots are independent work units
     (`tracking.py:408-417`), so completed shots are kept verbatim and the
     interrupted shot is re-tracked.
+
+    With ``world > 1`` (extension), this process is worker ``rank`` of a
+    shot-sharded multi-worker run: it tracks shots ``rank, rank+world, …``
+    into ``<output>.part<rank>``; rank 0 then waits for the other parts
+    and merges them deterministically (`parallel/multihost.py`).
     """
     import os
 
     from ..core import Annotation, load, formats
     from ..pipeline.face_tracking import FaceTracking
+    from ..parallel.multihost import (
+        init_distributed, merge_tracking_parts, part_path,
+    )
+
+    init_distributed(coordinator, rank, world)
 
     tracking = FaceTracking(detect_min_size=detect_min_size,
                             detect_every=detect_every,
@@ -147,15 +166,37 @@ def track(video, shot_path, output,
     from ..utils.profiling import StageStats
 
     stats = StageStats("track")
-    with open(output, "a" if resume else "w") as foutput:
-        for offset, trk in enumerate(tracking(video, shots)):
-            identifier = next_id + offset
-            for t, (left, top, right, bottom), status in trk:
-                foutput.write(formats.FACE_TEMPLATE.format(
-                    t=t, identifier=identifier, status=status,
-                    left=left, right=right, top=top, bottom=bottom))
-            stats.add(n=len(trk), tracks=1)
-            foutput.flush()
+
+    if world > 1:
+        # shot-sharded worker: my shots only, each tracked on its own
+        # time window (assigned shots are non-contiguous)
+        my_shots = [s for i, s in enumerate(shots) if i % world == rank]
+        old_start, old_end = video.start, video.end
+        with open(part_path(output, rank), "w") as foutput:
+            identifier = 0
+            for seg in my_shots:
+                video.start, video.end = seg.start, seg.end
+                for trk in tracking(video, [seg]):
+                    for t, (left, top, right, bottom), status in trk:
+                        foutput.write(formats.FACE_TEMPLATE.format(
+                            t=t, identifier=identifier, status=status,
+                            left=left, right=right, top=top, bottom=bottom))
+                    identifier += 1
+                    stats.add(n=len(trk), tracks=1)
+                foutput.flush()
+        video.start, video.end = old_start, old_end
+        if rank == 0:
+            merge_tracking_parts(output, world, wait_s=3600.0)
+    else:
+        with open(output, "a" if resume else "w") as foutput:
+            for offset, trk in enumerate(tracking(video, shots)):
+                identifier = next_id + offset
+                for t, (left, top, right, bottom), status in trk:
+                    foutput.write(formats.FACE_TEMPLATE.format(
+                        t=t, identifier=identifier, status=status,
+                        left=left, right=right, top=top, bottom=bottom))
+                stats.add(n=len(trk), tracks=1)
+                foutput.flush()
     if verbose:
         print(stats.finish(), file=sys.stderr)
 
@@ -344,6 +385,9 @@ def main(argv=None):
             "--max-gap": "1.",
             "--resume": None,
             "--exact-chips": None,
+            "--rank": "0",
+            "--world": "1",
+            "--coordinator": "",
             "--height": "400",
             "--from": "0",
             "--until": "",
@@ -365,7 +409,9 @@ def main(argv=None):
               track_min_overlap_ratio=float(arguments["--min-overlap"]),
               track_min_confidence=float(arguments["--min-confidence"]),
               track_max_gap=float(arguments["--max-gap"]),
-              resume=bool(arguments["--resume"]), verbose=verbose)
+              resume=bool(arguments["--resume"]), verbose=verbose,
+              rank=int(arguments["--rank"]), world=int(arguments["--world"]),
+              coordinator=arguments["--coordinator"] or None)
 
     if arguments["extract"]:
         video = Video(filename, ffmpeg=ffmpeg, verbose=verbose)

@@ -88,18 +88,21 @@ def _gaussian_target_fft() -> jnp.ndarray:
     return jnp.fft.rfft2(g)
 
 
-def _extract_patches(gray: jnp.ndarray, pos: jnp.ndarray, size: jnp.ndarray,
+def _extract_patches(images: jnp.ndarray, frame_idx: jnp.ndarray,
+                     pos: jnp.ndarray, size: jnp.ndarray,
                      rel_scales: jnp.ndarray) -> jnp.ndarray:
     """Batched patch sampling: [N slots] × [S scales] → [N, S, P, P].
 
     Patch (n, s) covers ``PATCH_SCALE × size[n] × rel_scales[s]`` centred at
-    ``pos[n]``.  Uses structured access (contiguous ROI ``dynamic_slice`` +
-    separable 2-tap ``take_along_axis`` resampling — `ops/warp.py:
-    crop_resize_chips`) instead of per-pixel bilinear gathers: on TPU,
-    Mosaic lowers fused gathers to ~1 element/cycle scalar loops, which
-    made patch extraction 84% of the tracking step (10 ms/frame at 720p,
-    measured); the separable form runs at vector width.  Patch regions
-    larger than the 512-pixel ROI (faces above ~245 px) are edge-clamped.
+    ``pos[n]`` in image ``frame_idx[n]`` (images [F, H, W] — multiple
+    source frames so independent tracking lanes batch into one extraction).
+    Uses structured access (contiguous ROI ``dynamic_slice`` + separable
+    2-tap ``take_along_axis`` resampling — `ops/warp.py:crop_resize_chips`)
+    instead of per-pixel bilinear gathers: on TPU, Mosaic lowers fused
+    gathers to ~1 element/cycle scalar loops, which made patch extraction
+    84% of the tracking step (10 ms/frame at 720p, measured); the separable
+    form runs at vector width.  Patch regions larger than the 512-pixel ROI
+    (faces above ~245 px) are edge-clamped.
     """
     from .warp import crop_resize_chips
 
@@ -116,11 +119,8 @@ def _extract_patches(gray: jnp.ndarray, pos: jnp.ndarray, size: jnp.ndarray,
         [jnp.stack([sx, zeros, left], axis=-1),
          jnp.stack([zeros, sy, top], axis=-1)], axis=-2,
     ).reshape(N * S, 2, 3)
-    out = crop_resize_chips(
-        gray[None, :, :, None],
-        jnp.zeros((N * S,), dtype=jnp.int32),
-        matrices, P, P,
-    )
+    idx = jnp.repeat(frame_idx.astype(jnp.int32), S)
+    out = crop_resize_chips(images[..., None], idx, matrices, P, P)
     return out[..., 0].reshape(N, S, P, P)
 
 
@@ -135,11 +135,12 @@ def _features(patch: jnp.ndarray, hann: jnp.ndarray) -> jnp.ndarray:
     return f * hann
 
 
-def _slot_ffts(gray: jnp.ndarray, pos: jnp.ndarray, size: jnp.ndarray,
+def _slot_ffts(images: jnp.ndarray, frame_idx: jnp.ndarray,
+               pos: jnp.ndarray, size: jnp.ndarray,
                hann: jnp.ndarray) -> jnp.ndarray:
     """rfft2 of the scale-1 feature patch for every slot: [N, P, Pr]."""
     patches = _extract_patches(
-        gray, pos, size, jnp.ones((1,), dtype=jnp.float32)
+        images, frame_idx, pos, size, jnp.ones((1,), dtype=jnp.float32)
     )[:, 0]
     return jnp.fft.rfft2(_features(patches, hann))
 
@@ -165,7 +166,8 @@ def start_tracks(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     )
     size = jnp.maximum(size, 4.0)
 
-    F = _slot_ffts(gray, pos, size, hann)
+    zero_idx = jnp.zeros((pos.shape[0],), dtype=jnp.int32)
+    F = _slot_ffts(gray[None], zero_idx, pos, size, hann)
     num = G[None] * jnp.conj(F)
     num_re = num.real
     num_im = num.imag
@@ -210,7 +212,8 @@ def restart_slots(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     )
     size = jnp.maximum(size, 4.0)
 
-    F = _slot_ffts(gray, pos, size, hann)
+    F = _slot_ffts(gray[None], jnp.zeros((pos.shape[0],), dtype=jnp.int32),
+                   pos, size, hann)
     num = G[None] * jnp.conj(F)
     den = (F * jnp.conj(F)).real
 
@@ -226,14 +229,16 @@ def restart_slots(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     )
 
 
-@jax.jit
-def step(state: TrackState, gray: jnp.ndarray,
-         min_confidence: float = 10.0) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+def _step_core(state: TrackState, images: jnp.ndarray,
+               slot_frame: jnp.ndarray, min_confidence):
     """Advance ALL slots one frame (batched dlib ``update``).
 
-    Returns (new_state, boxes [N, 4], confidences [N]).  Slots whose PSR
-    drops below ``min_confidence`` are marked dead (reference kill rule,
-    `tracking.py:203-206`); dead slots freeze.
+    images [F, H, W]; ``slot_frame[n]`` names the image slot n tracks in —
+    multiple independent lanes (forward/backward passes, parallel shots)
+    advance in the same batched program.  Returns (new_state, boxes [N, 4],
+    confidences [N]).  Slots whose PSR drops below ``min_confidence`` are
+    marked dead (reference kill rule, `tracking.py:203-206`); dead slots
+    freeze.
     """
     hann = _hann2d()
     G = _gaussian_target_fft()
@@ -241,7 +246,8 @@ def step(state: TrackState, gray: jnp.ndarray,
 
     # ALL slots × scales sampled in one structured-access batch, then the
     # whole response stack in two batched FFTs — no per-slot loops
-    patches = _extract_patches(gray, state.pos, state.size, scale_steps)
+    patches = _extract_patches(images, slot_frame, state.pos, state.size,
+                               scale_steps)
     Fz = jnp.fft.rfft2(_features(patches, hann))          # [N, S, P, Pr]
     num = jax.lax.complex(state.num_re, state.num_im)
     resp = jnp.fft.irfft2(
@@ -291,7 +297,7 @@ def step(state: TrackState, gray: jnp.ndarray,
     )
     new_size = jnp.maximum(state.size * rel[:, None], 4.0)
 
-    Fn = _slot_ffts(gray, new_pos, new_size, hann)
+    Fn = _slot_ffts(images, slot_frame, new_pos, new_size, hann)
     upd = G[None] * jnp.conj(Fn)
     new_num_re = (1.0 - ETA) * state.num_re + ETA * upd.real
     new_num_im = (1.0 - ETA) * state.num_im + ETA * upd.imag
@@ -312,6 +318,14 @@ def step(state: TrackState, gray: jnp.ndarray,
         axis=1,
     )
     return TrackState(pos, size, num_re, num_im, den, alive), boxes, conf
+
+
+@jax.jit
+def step(state: TrackState, gray: jnp.ndarray,
+         min_confidence: float = 10.0) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+    """Single-frame convenience wrapper over ``_step_core``."""
+    slot_frame = jnp.zeros((state.alive.shape[0],), dtype=jnp.int32)
+    return _step_core(state, gray[None], slot_frame, min_confidence)
 
 
 # ---------------------------------------------------------------------------
@@ -355,11 +369,23 @@ def _greedy_match(overlap: jnp.ndarray) -> jnp.ndarray:
     return match_slot
 
 
-def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
+def _select_slots(mask: jnp.ndarray, a: TrackState,
+                  b: TrackState) -> TrackState:
+    """Per-slot select between two states (mask [N] bool: True → a)."""
+
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+
+    return TrackState(*(sel(x, y) for x, y in zip(a, b)))
+
+
+def lane_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
               grays: jnp.ndarray, frame_valid: jnp.ndarray,
               det_boxes: jnp.ndarray, det_valid: jnp.ndarray,
-              min_confidence, min_overlap_ratio, dup_containment):
-    """One directional tracking pass over a WHOLE shot in one dispatch.
+              min_confidence, min_overlap_ratio, dup_containment,
+              n_lanes: int = 1):
+    """Tracking over a whole shot in one dispatch, L lanes at a time.
 
     The reference's per-frame Python loop (detect → Hungarian associate →
     per-tracker update, `tracking.py:184-259`) becomes a single compiled
@@ -369,30 +395,44 @@ def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
     spawn new tracks for unmatched detections — the host reads back ONE
     packed array per shot and only rebuilds track lists.
 
+    A *lane* is an independent tracking stream with its own frame sequence
+    and detections; lanes share each scan iteration's batched DSST math
+    (one patch-extraction + FFT batch over all L·N slots), amortising the
+    per-iteration fixed cost.  The forward and backward passes of a shot
+    run as 2 lanes of ONE dispatch (`pipeline/tracking.py`); associations
+    never cross lanes.
+
     Parameters
     ----------
-    state, uid, next_uid : tracker slots ([N] uids, scalar uid counter).
-    grays : [T, H, W] float32 (already time-ordered for the pass direction).
-    frame_valid : [T] bool — padding frames (shape bucketing) are skipped.
-    det_boxes : [T, D, 4] float32, det_valid : [T, D] bool — detections per
-        frame (empty rows off); a frame with any valid detection is a
-        detection frame.
+    state, uid, next_uid : L·N tracker slots (slot s belongs to lane
+        s // N) and the shared fresh-uid counter (uids stay globally
+        unique, so the host can bucket by uid across lanes).
+    grays : [T, L, H, W] float32 (each lane already time-ordered).
+    frame_valid : [T, L] bool — padding frames (shape bucketing) freeze
+        their lane.
+    det_boxes : [T, L, D, 4] float32, det_valid : [T, L, D] bool.
     min_overlap_ratio : the association gate (`tracking.py:129-134`).
     dup_containment : suppress spawning a new track for an unmatched
         detection whose containment overlap (intersection / min area) with
         a surviving tracker exceeds this — otherwise alignment jitter
         around the gate spawns duplicate parallel tracks (the reference
         inherits this failure mode; we fix it at association time).
+    n_lanes : static lane count L.
 
     Returns
     -------
-    (state, uid, next_uid), packed [T, N, PACK_WIDTH], dropped [T]
-        ``dropped[t]`` counts detections that found no free slot (host
+    (state, uid, next_uid), packed [T, L·N, PACK_WIDTH], dropped [T, L]
+        ``dropped[t, l]`` counts detections that found no free slot (host
         retries the shot with a bigger slot bucket).
     """
     from .boxes import gated_overlap, overlap_min_ratio
 
-    N = state.alive.shape[0]
+    L = n_lanes
+    LN = state.alive.shape[0]
+    if LN % L:
+        raise ValueError(f"{LN} slots not divisible by {L} lanes")
+    N = LN // L
+    slot_frame = jnp.repeat(jnp.arange(L, dtype=jnp.int32), N)
 
     def det_branch(op):
         st, uid, next_uid, gray, dboxes, dvalid, tboxes = op
@@ -460,17 +500,26 @@ def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
                 slot_abs, abs_det, dropped)
 
     def frame_body(op):
-        st, uid, next_uid, gray, dboxes, dvalid = op
+        st, uid, next_uid, images, f_valid, dboxes, dvalid = op
         alive_before = st.alive
-        st, tboxes, conf = step(st, gray, min_confidence)
-        tracked = alive_before & (conf >= min_confidence)
+        st2, tboxes, conf = _step_core(st, images, slot_frame, min_confidence)
+        if L == 1:
+            # the frame-level cond already guards whole-frame validity;
+            # per-slot passthrough selects would only add state traffic
+            st = st2
+            tracked = alive_before & (conf >= min_confidence)
+        else:
+            # lanes whose frame is padding freeze (passthrough, no points)
+            fv_slot = f_valid[slot_frame]
+            st = _select_slots(fv_slot, st2, st)
+            conf = jnp.where(fv_slot, conf, -jnp.inf)
+            tracked = alive_before & (conf >= min_confidence) & fv_slot
 
-        def with_dets(op2):
-            return det_branch(op2)
+        lane_out = []
 
         def no_dets(op2):
-            st, uid, next_uid = op2[0], op2[1], op2[2]
-            return (st, uid, next_uid,
+            sub, uid_l, next_uid = op2[0], op2[1], op2[2]
+            return (sub, uid_l, next_uid,
                     jnp.zeros((N,), dtype=bool),
                     jnp.zeros((N,), dtype=jnp.int32),
                     jnp.zeros((N, 4), dtype=jnp.float32),
@@ -478,11 +527,39 @@ def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
                     jnp.zeros((N,), dtype=jnp.int32),
                     jnp.int32(0))
 
-        (st, uid, next_uid, slot_has_det, det_for_slot, slot_boxes,
-         slot_abs, abs_det, dropped) = (
-            jax.lax.cond(jnp.any(dvalid), with_dets, no_dets,
-                         (st, uid, next_uid, gray, dboxes, dvalid, tboxes))
-        )
+        def lane_slice(f, l):
+            return f if L == 1 else f[l * N:(l + 1) * N]
+
+        for l in range(L):                      # static unroll over lanes
+            sub = (st if L == 1
+                   else TrackState(*(f[l * N:(l + 1) * N] for f in st)))
+            uid_l = lane_slice(uid, l)
+            dv_l = dvalid[l] & f_valid[l]
+            (sub, uid_l, next_uid, has_det_l, det_slot_l, boxes_l,
+             abs_l, absdet_l, dropped_l) = jax.lax.cond(
+                jnp.any(dv_l), det_branch, no_dets,
+                (sub, uid_l, next_uid, images[l], dboxes[l], dv_l,
+                 lane_slice(tboxes, l)),
+            )
+            lane_out.append((sub, uid_l, has_det_l, det_slot_l, boxes_l,
+                             abs_l, absdet_l, dropped_l))
+
+        if L == 1:
+            (st, uid, slot_has_det, det_for_slot, slot_boxes,
+             slot_abs, abs_det, dropped_0) = lane_out[0]
+            dropped = [dropped_0]
+        else:
+            st = TrackState(*(
+                jnp.concatenate([lo[0][i] for lo in lane_out])
+                for i in range(len(st))
+            ))
+            uid = jnp.concatenate([lo[1] for lo in lane_out])
+            slot_has_det = jnp.concatenate([lo[2] for lo in lane_out])
+            det_for_slot = jnp.concatenate([lo[3] for lo in lane_out])
+            slot_boxes = jnp.concatenate([lo[4] for lo in lane_out])
+            slot_abs = jnp.concatenate([lo[5] for lo in lane_out])
+            abs_det = jnp.concatenate([lo[6] for lo in lane_out])
+            dropped = [lo[7] for lo in lane_out]
 
         out_box = jnp.where(slot_has_det[:, None], slot_boxes, tboxes)
         out_status = jnp.where(slot_has_det, 2.0,
@@ -494,21 +571,24 @@ def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
             [out_box, conf[:, None], out_status[:, None],
              uid.astype(jnp.float32)[:, None], out_det[:, None]], axis=1,
         )
-        return (st, uid, next_uid), packed, dropped
+        return (st, uid, next_uid), packed, jnp.stack(dropped)
 
     def body(carry, inp):
         st, uid, next_uid = carry
-        gray, f_valid, dboxes, dvalid = inp
+        images, f_valid, dboxes, dvalid = inp
 
         def run(_):
-            return frame_body((st, uid, next_uid, gray, dboxes, dvalid))
+            return frame_body((st, uid, next_uid, images, f_valid,
+                               dboxes, dvalid))
 
         def skip(_):
             return ((st, uid, next_uid),
-                    jnp.zeros((N, PACK_WIDTH), dtype=jnp.float32),
-                    jnp.int32(0))
+                    jnp.zeros((LN, PACK_WIDTH), dtype=jnp.float32),
+                    jnp.zeros((L,), dtype=jnp.int32))
 
-        carry2, packed, dropped = jax.lax.cond(f_valid, run, skip, None)
+        carry2, packed, dropped = jax.lax.cond(
+            jnp.any(f_valid), run, skip, None
+        )
         return carry2, (packed, dropped)
 
     (state, uid, next_uid), (packed, dropped) = jax.lax.scan(
@@ -516,6 +596,28 @@ def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
         (grays, frame_valid, det_boxes, det_valid),
     )
     return (state, uid, next_uid), packed, dropped
+
+
+lane_scan_jit = jax.jit(lane_scan, static_argnames=("n_lanes",))
+
+
+def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
+              grays: jnp.ndarray, frame_valid: jnp.ndarray,
+              det_boxes: jnp.ndarray, det_valid: jnp.ndarray,
+              min_confidence, min_overlap_ratio, dup_containment):
+    """Single-lane convenience wrapper over ``lane_scan``.
+
+    grays [T, H, W], frame_valid [T], det_boxes [T, D, 4], det_valid
+    [T, D] → ((state, uid, next_uid), packed [T, N, PACK_WIDTH],
+    dropped [T]).
+    """
+    carry, packed, dropped = lane_scan(
+        state, uid, next_uid,
+        grays[:, None], frame_valid[:, None],
+        det_boxes[:, None], det_valid[:, None],
+        min_confidence, min_overlap_ratio, dup_containment, n_lanes=1,
+    )
+    return carry, packed, dropped[:, 0]
 
 
 shot_scan_jit = jax.jit(shot_scan)

@@ -122,9 +122,9 @@ def embedding_batch(rng: np.random.Generator,
             # geometric jitter covers realistic landmark-alignment noise
             # (detector box offset + ERT residual) so downstream chips from
             # tracked boxes stay inside the invariance envelope
-            cx = chip_size / 2 + rng.uniform(-9, 9)
-            cy = chip_size / 2 + rng.uniform(-9, 9)
-            h = face_h * rng.uniform(0.85, 1.18)
+            cx = chip_size / 2 + rng.uniform(-12, 12)
+            cy = chip_size / 2 + rng.uniform(-12, 12)
+            h = face_h * rng.uniform(0.8, 1.22)
             render_face(bg, cx, cy, h, params)
             gain = rng.uniform(0.8, 1.2)
             bias = rng.uniform(-15, 15)

@@ -28,6 +28,7 @@ from . import data
 
 THRESHOLD = 0.6   # dlib loss_metric distance threshold
 MARGIN = 0.04     # dlib loss_metric margin
+PULL = 0.3        # within-identity variance regulariser weight
 
 
 def loss_fn(params, chips, labels):
@@ -46,7 +47,15 @@ def loss_fn(params, chips, labels):
     diff_loss = jnp.maximum(0.0, (THRESHOLD + MARGIN) - d) * diff_mask
     n_same = jnp.maximum(jnp.sum(same_mask), 1.0)
     n_diff = jnp.maximum(jnp.sum(diff_mask), 1.0)
-    return jnp.sum(same_loss) / n_same + jnp.sum(diff_loss) / n_diff, params_new
+    # within-identity pull: the hinge alone tolerates same-pair distances
+    # up to 0.56, but the reference's MEAN-PAIRWISE cluster linkage
+    # (`face/clustering.py:100-110`) adds within-cluster variance on top of
+    # the between-mean distance — alignment-jittered tracks of one identity
+    # then exceed the 0.6 merge threshold (round-1 under-merge).  Shrinking
+    # same-pair distances directly keeps cross-shot merges inside it.
+    pull_loss = PULL * jnp.sum(d * same_mask) / n_same
+    return (jnp.sum(same_loss) / n_same + jnp.sum(diff_loss) / n_diff
+            + pull_loss), params_new
 
 
 def train(steps: int = 400, n_ident: int = 8, per_ident: int = 4,

@@ -102,3 +102,31 @@ def cluster_purity(assignment: Dict[int, object],
             counts[ident] = counts.get(ident, 0) + 1
         correct += max(counts.values())
     return correct / n
+
+
+def pairwise_prf(assignment: Dict[int, object],
+                 truth: Dict[int, object]) -> Dict[str, float]:
+    """Pairwise precision/recall/F1 of a clustering against truth labels.
+
+    Over all item pairs: a pair predicted same-cluster is a true positive
+    when it is same-label in truth.  Recall exposes UNDER-merging (purity
+    alone rewards over-splitting); precision exposes over-merging.
+    """
+    import itertools
+
+    items = [k for k in assignment if k in truth]
+    tp = fp = fn = 0
+    for i, j in itertools.combinations(items, 2):
+        same_pred = assignment[i] == assignment[j]
+        same_true = truth[i] == truth[j]
+        if same_pred and same_true:
+            tp += 1
+        elif same_pred:
+            fp += 1
+        elif same_true:
+            fn += 1
+    precision = tp / (tp + fp) if (tp + fp) else 1.0
+    recall = tp / (tp + fn) if (tp + fn) else 1.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"precision": precision, "recall": recall, "f1": f1}
