@@ -100,7 +100,10 @@ def main():
     grays_rev = jnp.flip(grays, axis=0)
 
     def run_track():
-        total = 0.0
+        # dispatch fwd + bwd before the single sync — the pipeline reads
+        # both passes back together (`pipeline/tracking.py`), so the second
+        # scan's device time overlaps the first's transfer latency
+        packs = []
         for g in (grays, grays_rev):
             state = dsst.init_state(N_SLOTS)
             uid0 = jnp.full((N_SLOTS,), -1, dtype=jnp.int32)
@@ -108,8 +111,8 @@ def main():
                 state, uid0, jnp.int32(0), g, frame_valid,
                 det_boxes_j, det_valid_j, 10.0, 0.3, 0.6,
             )
-            total += _sync(packed[-1, :, 0])
-        return total
+            packs.append(packed[-1, :, 0])
+        return _sync(packs[0] + packs[1])
 
     # ---- stage: extract (ERT + chip warp + embed, 1 face/frame) ----------
     lm_static = {

@@ -65,7 +65,7 @@ def _axis_aligned(matrices: jnp.ndarray, chip_size: float) -> jnp.ndarray:
     Keeps the isotropic scale (|a+bi|) and re-anchors the translation so
     the chip center maps to the same image point.  Face roll in video is
     small; the axis-aligned form unlocks the separable fast path
-    (`ops/warp.py:crop_resize_chips`).
+    (`ops/warp.py:separable_resize_chips`).
     """
     a = matrices[:, 0, 0]
     b = matrices[:, 1, 0]
@@ -87,14 +87,15 @@ def extract_chips(frames: jnp.ndarray, frame_idx: jnp.ndarray,
     frames [T, H, W, 3], frame_idx [N], landmarks [N, 68, 2]
     → chips [N, chip_size, chip_size, 3] float32.
 
-    Uses the axis-aligned crop-resize kernel (rotation dropped — ~18×
-    faster on TPU than per-pixel gathers); ``extract_chips_exact`` keeps
-    full rotated sampling.
+    Uses the axis-aligned separable full-frame kernel (rotation dropped —
+    ~18× faster on TPU than per-pixel gathers, and no per-face ROI buffers);
+    ``extract_chips_exact`` keeps full rotated sampling.
     """
-    from ..ops.warp import crop_resize_chips
+    from ..ops.warp import separable_resize_chips
 
     matrices = _axis_aligned(chip_transforms(landmarks), float(chip_size))
-    return crop_resize_chips(frames, frame_idx, matrices, chip_size, chip_size)
+    return separable_resize_chips(frames, frame_idx, matrices,
+                                  chip_size, chip_size)
 
 
 @partial(jax.jit, static_argnames=("chip_size",))

@@ -132,8 +132,8 @@ def predict_crops(params: Dict, grays: jnp.ndarray, frame_idx: jnp.ndarray,
     """Cascade over per-face crops instead of full frames.
 
     Extracts one CROP×CROP gray window covering ``CROP_SCALE ×`` each
-    detection box (structured access: contiguous ROI + separable 2-tap
-    resample — per-pixel gathers are scalar-bound on TPU), runs the cascade
+    detection box (structured access: separable full-frame column/row
+    gathers — per-pixel gathers are scalar-bound on TPU), runs the cascade
     in crop coordinates (the feature pool's ±0.25 normalized offsets stay
     well inside the window) and maps the landmarks back to frame pixels.
     This keeps the cascade inside large fused programs without gathering
@@ -142,7 +142,7 @@ def predict_crops(params: Dict, grays: jnp.ndarray, frame_idx: jnp.ndarray,
     grays [T, H, W] float32, frame_idx [N] int32, boxes [N, 4] pixel
     coords → landmarks [N, 68, 2] pixel coords.
     """
-    from ..ops.warp import crop_resize_chips
+    from ..ops.warp import separable_resize_chips
 
     N = boxes.shape[0]
     cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
@@ -161,7 +161,7 @@ def predict_crops(params: Dict, grays: jnp.ndarray, frame_idx: jnp.ndarray,
         [jnp.stack([sx, zeros, ox], axis=1),
          jnp.stack([zeros, sy, oy], axis=1)], axis=1,
     )  # [N, 2, 3] chip → image
-    crops = crop_resize_chips(
+    crops = separable_resize_chips(
         grays[..., None], frame_idx.astype(jnp.int32), matrices, CROP, CROP
     )[..., 0]  # [N, CROP, CROP]
 

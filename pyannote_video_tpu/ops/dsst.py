@@ -96,15 +96,16 @@ def _extract_patches(images: jnp.ndarray, frame_idx: jnp.ndarray,
     Patch (n, s) covers ``PATCH_SCALE × size[n] × rel_scales[s]`` centred at
     ``pos[n]`` in image ``frame_idx[n]`` (images [F, H, W] — multiple
     source frames so independent tracking lanes batch into one extraction).
-    Uses structured access (contiguous ROI ``dynamic_slice`` + separable
-    2-tap ``take_along_axis`` resampling — `ops/warp.py:crop_resize_chips`)
-    instead of per-pixel bilinear gathers: on TPU, Mosaic lowers fused
-    gathers to ~1 element/cycle scalar loops, which made patch extraction
-    84% of the tracking step (10 ms/frame at 720p, measured); the separable
-    form runs at vector width.  Patch regions larger than the 512-pixel ROI
-    (faces above ~245 px) are edge-clamped.
+    Uses separable full-frame structured access
+    (`ops/warp.py:separable_resize_chips`) instead of per-pixel bilinear
+    gathers: on TPU, Mosaic lowers fused gathers to ~1 element/cycle scalar
+    loops, which made patch extraction 84% of the tracking step
+    (10 ms/frame at 720p, measured); the separable column/row-gather form
+    runs at vector width and avoids the per-patch ROI buffers that an
+    earlier ``dynamic_slice`` variant materialized (~60% of the remaining
+    step time).  No patch size cap — any face size samples exactly.
     """
-    from .warp import crop_resize_chips
+    from .warp import separable_resize_chips
 
     N = pos.shape[0]
     S = rel_scales.shape[0]
@@ -120,7 +121,7 @@ def _extract_patches(images: jnp.ndarray, frame_idx: jnp.ndarray,
          jnp.stack([zeros, sy, top], axis=-1)], axis=-2,
     ).reshape(N * S, 2, 3)
     idx = jnp.repeat(frame_idx.astype(jnp.int32), S)
-    out = crop_resize_chips(images[..., None], idx, matrices, P, P)
+    out = separable_resize_chips(images[..., None], idx, matrices, P, P)
     return out[..., 0].reshape(N, S, P, P)
 
 

@@ -139,70 +139,61 @@ def gather_affine_warp(images: jnp.ndarray, frame_idx: jnp.ndarray,
     return out.reshape(frame_idx.shape[0], out_h, out_w, C)
 
 
-@partial(jax.jit, static_argnames=("out_h", "out_w", "roi"))
-def crop_resize_chips(images: jnp.ndarray, frame_idx: jnp.ndarray,
-                      matrices: jnp.ndarray, out_h: int, out_w: int,
-                      roi: int = 512) -> jnp.ndarray:
-    """Axis-aligned chip extraction: ROI slice + separable 2-tap resampling.
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def separable_resize_chips(images: jnp.ndarray, frame_idx: jnp.ndarray,
+                           matrices: jnp.ndarray, out_h: int,
+                           out_w: int) -> jnp.ndarray:
+    """Axis-aligned chip extraction via separable FULL-FRAME gathers.
 
-    The TPU-fast path for face chips.  Per-pixel gathers are scalar-bound on
-    TPU (~1 elem/cycle → ~0.9 s for 512 chips from a 720p batch); this
-    formulation uses only operations the hardware executes at full vector
-    width: a contiguous ``dynamic_slice`` ROI per face, then per-face 2-tap
-    row and column resampling via ``take_along_axis`` (whole-row gathers).
-
-    Drops the rotation component of the transform (face roll); use
-    ``gather_affine_warp`` when exact rotated sampling matters.  Faces whose
-    chip region exceeds ``roi`` pixels are edge-clamped.
+    The TPU-fast path for face chips and tracker patches.  Per-pixel
+    2-D gathers are scalar-bound on TPU (~1 elem/cycle → ~0.9 s for 512
+    chips from a 720p batch); an intermediate design sliced a contiguous
+    512×512 ROI per face (``dynamic_slice``) and resampled inside it, but
+    the per-face ROI buffers dominated HBM traffic in the DSST scan
+    (80 patches × 1 MB read+write per frame ≈ 225 MB/frame, ~60% of the
+    whole tracking step, measured — 2× the remaining cost).  Here the
+    horizontal pass gathers only the needed source *columns* from the
+    (transposed) frame and the vertical pass gathers rows from that — every
+    gather is along a major axis with a wide inner span, so Mosaic executes
+    it at vector width, and traffic drops to ~90 MB/frame.  No region size
+    cap: faces of any size sample exactly (the ROI path edge-clamps above
+    512 px).
 
     images [T, H, W, C] (uint8 ok), frame_idx [N], matrices [N, 2, 3]
-    (chip → image, as from ``chip_transforms``) → [N, out_h, out_w, C] f32.
+    (chip → image; rotation component ignored) → [N, out_h, out_w, C] f32.
     """
     T, H, W, C = images.shape
     N = frame_idx.shape[0]
-    roi = min(roi, H, W)
 
     sx = matrices[:, 0, 0]
     sy = matrices[:, 1, 1]
     ox = matrices[:, 0, 2]
     oy = matrices[:, 1, 2]
-
     px = jnp.arange(out_w, dtype=jnp.float32)
     py = jnp.arange(out_h, dtype=jnp.float32)
-    in_x = ox[:, None] + sx[:, None] * px[None]   # [N, out_w]
-    in_y = oy[:, None] + sy[:, None] * py[None]   # [N, out_h]
+    in_x = jnp.clip(ox[:, None] + sx[:, None] * px[None], 0.0, W - 1.0)
+    in_y = jnp.clip(oy[:, None] + sy[:, None] * py[None], 0.0, H - 1.0)
 
-    # ROI origin per face (scales are positive: min coord is index 0)
-    x0r = jnp.clip(jnp.floor(in_x[:, 0]).astype(jnp.int32), 0, W - roi)
-    y0r = jnp.clip(jnp.floor(in_y[:, 0]).astype(jnp.int32), 0, H - roi)
+    # horizontal 2-tap: gather length-H source columns per output column
+    imT = jnp.swapaxes(images, 1, 2).reshape(T * W, H * C)
+    x0 = jnp.floor(in_x).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wx = (in_x - x0.astype(jnp.float32)).reshape(-1, 1)
+    base = (frame_idx.astype(jnp.int32) * W)[:, None]
+    i0 = lax.optimization_barrier((base + x0).reshape(-1))
+    i1 = lax.optimization_barrier((base + x1).reshape(-1))
+    cols = (jnp.take(imT, i0, axis=0).astype(jnp.float32) * (1.0 - wx)
+            + jnp.take(imT, i1, axis=0).astype(jnp.float32) * wx)
 
-    def one(fi, y, x):
-        return lax.dynamic_slice(images, (fi, y, x, 0), (1, roi, roi, C))[0]
-
-    rois = jax.vmap(one)(frame_idx.astype(jnp.int32), y0r, x0r)
-    rois = rois.astype(jnp.float32)                # [N, roi, roi, C]
-
-    # vertical 2-tap resampling (row gathers)
-    ly = jnp.clip(in_y - y0r[:, None].astype(jnp.float32), 0.0, roi - 1.0)
-    yy0 = jnp.floor(ly).astype(jnp.int32)
-    yy1 = jnp.minimum(yy0 + 1, roi - 1)
-    wy = (ly - yy0.astype(jnp.float32))[:, :, None, None]
-    i0 = lax.optimization_barrier(yy0[:, :, None, None])
-    i1 = lax.optimization_barrier(yy1[:, :, None, None])
-    rows = (jnp.take_along_axis(rois, i0, axis=1) * (1.0 - wy)
-            + jnp.take_along_axis(rois, i1, axis=1) * wy)  # [N, out_h, roi, C]
-
-    # horizontal 2-tap resampling (swap so the gather is again row-shaped)
-    lx = jnp.clip(in_x - x0r[:, None].astype(jnp.float32), 0.0, roi - 1.0)
-    xx0 = jnp.floor(lx).astype(jnp.int32)
-    xx1 = jnp.minimum(xx0 + 1, roi - 1)
-    wx = (lx - xx0.astype(jnp.float32))[:, :, None, None]
-    cols_first = jnp.swapaxes(rows, 1, 2)          # [N, roi, out_h, C]
-    j0 = lax.optimization_barrier(xx0[:, :, None, None])
-    j1 = lax.optimization_barrier(xx1[:, :, None, None])
-    out = (jnp.take_along_axis(cols_first, j0, axis=1) * (1.0 - wx)
-           + jnp.take_along_axis(cols_first, j1, axis=1) * wx)
-    return jnp.swapaxes(out, 1, 2)                 # [N, out_h, out_w, C]
+    # vertical 2-tap: per-chip row gather along the H axis
+    colsT = jnp.swapaxes(cols.reshape(N, out_w, H, C), 1, 2)  # [N,H,out_w,C]
+    y0 = jnp.floor(in_y).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wy = (in_y - y0.astype(jnp.float32))[:, :, None, None]
+    j0 = lax.optimization_barrier(y0[:, :, None, None])
+    j1 = lax.optimization_barrier(y1[:, :, None, None])
+    return (jnp.take_along_axis(colsT, j0, axis=1) * (1.0 - wy)
+            + jnp.take_along_axis(colsT, j1, axis=1) * wy)
 
 
 def similarity_from_points(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:

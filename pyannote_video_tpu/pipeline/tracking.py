@@ -252,7 +252,7 @@ class TrackingByDetection:
         if not n_buckets:
             n_buckets = [self.max_tracks]
 
-        out: List[List[_Track]] = []
+        inputs = {}
         for direction in (FORWARD, BACKWARD):
             order = orders[direction]
             gr = grays if direction == FORWARD else jnp.flip(grays, axis=0)
@@ -265,34 +265,51 @@ class TrackingByDetection:
             dv = np.zeros((Tpad, D), dtype=bool)
             db[:T] = det_boxes[order]
             dv[:T] = det_valid[order]
+            inputs[direction] = (gr, jnp.asarray(db), jnp.asarray(dv))
 
-            for n_slots in n_buckets:
-                state = dsst.init_state(n_slots)
-                uid0 = jnp.full((n_slots,), -1, dtype=jnp.int32)
-                _, packed_dev, dropped_dev = dsst.shot_scan_jit(
-                    state, uid0, jnp.int32(0),
-                    gr, fv, jnp.asarray(db), jnp.asarray(dv),
-                    self.track_min_confidence,
-                    self.track_min_overlap_ratio,
-                    self.track_dup_containment,
-                )
-                # ONE readback per pass: flattened pack + drop counts
-                flat = np.asarray(
-                    jnp.concatenate(
-                        [packed_dev[:T].reshape(T, -1),
-                         dropped_dev[:T, None].astype(jnp.float32)], axis=1,
-                    )
-                )
+        def dispatch(direction, n_slots):
+            gr, db_j, dv_j = inputs[direction]
+            state = dsst.init_state(n_slots)
+            uid0 = jnp.full((n_slots,), -1, dtype=jnp.int32)
+            _, packed_dev, dropped_dev = dsst.shot_scan_jit(
+                state, uid0, jnp.int32(0),
+                gr, fv, db_j, dv_j,
+                self.track_min_confidence,
+                self.track_min_overlap_ratio,
+                self.track_dup_containment,
+            )
+            # ONE readback per pass: flattened pack + drop counts
+            return jnp.concatenate(
+                [packed_dev[:T].reshape(T, -1),
+                 dropped_dev[:T, None].astype(jnp.float32)], axis=1,
+            )
+
+        # both directions are dispatched before either readback so the
+        # second scan's device time overlaps the first's transfer/sync
+        results = {}
+        todo = {FORWARD: 0, BACKWARD: 0}
+        while todo:
+            launched = {d: (n_buckets[bi], dispatch(d, n_buckets[bi]))
+                        for d, bi in todo.items()}
+            for direction, (n_slots, flat_dev) in launched.items():
+                flat = np.asarray(flat_dev)
                 packed = flat[:, :-1].reshape(T, n_slots, dsst.PACK_WIDTH)
                 n_dropped = int(flat[:, -1].sum())
-                if n_dropped == 0:
-                    break
-                if n_slots != n_buckets[-1]:
-                    continue  # retry with more slots
-                warnings.warn(
-                    f"more than {n_slots} simultaneous tracks; dropped "
-                    f"{n_dropped} detections (raise max_tracks)"
-                )
+                if n_dropped and n_slots != n_buckets[-1]:
+                    todo[direction] += 1  # retry with more slots
+                    continue
+                if n_dropped:
+                    warnings.warn(
+                        f"more than {n_slots} simultaneous tracks; dropped "
+                        f"{n_dropped} detections (raise max_tracks)"
+                    )
+                results[direction] = packed
+                del todo[direction]
+
+        out: List[List[_Track]] = []
+        for direction in (FORWARD, BACKWARD):
+            order = orders[direction]
+            packed = results[direction]
 
             boxes_a = packed[:, :, dsst.PACK_BOX]
             status_a = packed[:, :, dsst.PACK_STATUS]
