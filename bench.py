@@ -153,6 +153,41 @@ def main():
     t_track = bench(run_track)
     t_extract = bench(run_extract)
 
+    # ---- sustained ingest: host RAM → device (prefetch-overlapped) → detect
+    # The end-to-end feed path the kernel metric excludes: raw 720p uint8
+    # batches stream through `io.batch.prefetch_to_device` (double-buffered
+    # device_put) while the detector consumes the previous batch.  Through
+    # this environment's relay the transfer itself caps at ~0.4 GB/s
+    # (~140 fps of 720p feed) — an order of magnitude higher on production
+    # PCIe hosts — so this number is the TUNNEL floor, not the design's.
+    from pyannote_video_tpu.io.batch import prefetch_to_device
+
+    host_batches = [
+        rng.integers(0, 255, size=(64, H, W, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+
+    @jax.jit
+    def detect_subset(dp, ep, lm, batch):
+        # a real pipeline ships EVERY frame once; the detector consumes the
+        # detection subset on device (tracking consumes the rest as gray)
+        return fused(dp, ep, lm, batch[::DETECT_EVERY])
+
+    def run_sustained():
+        n = 0
+        for batch in prefetch_to_device(iter(host_batches), size=2):
+            out = detect_subset(pipe.detector_params, pipe.embedder_params,
+                                pipe.landmark_arrays, batch)
+            _sync(out.scores)
+            n += batch.shape[0]
+        return n
+
+    run_sustained()  # warm
+    t0 = time.perf_counter()
+    n_frames = run_sustained()
+    t_sustained = time.perf_counter() - t0
+    sustained_fps = n_frames / t_sustained
+
     combined_fps = T_SHOT / (t_det + t_track + t_extract)
     print(json.dumps({
         "metric": "720p detect+track+embed fps/chip "
@@ -166,6 +201,7 @@ def main():
             "track": round(T_SHOT / t_track, 1),
             "extract": round(T_SHOT / t_extract, 1),
         },
+        "sustained_ingest_fps": round(sustained_fps, 1),
         "config": {"frames": T_SHOT, "detect_every": DETECT_EVERY,
                    "tracker_slots": N_SLOTS, "faces_per_frame": 1},
     }))

@@ -38,34 +38,39 @@ class FusedOutput(NamedTuple):
 def _device_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
                 max_out: int):
     """Greedy NMS on device: boxes [K, 4], scores [K] → (boxes, scores,
-    valid) with max_out slots.  O(K²) IoU + fori selection, all static."""
+    valid) with max_out slots.
+
+    Only ``max_out`` winners are ever emitted, so the loop runs max_out
+    iterations (pick best live candidate, suppress its overlaps) instead of
+    walking all K candidates in score order — identical output to full
+    greedy NMS truncated to max_out picks, at K/max_out× fewer sequential
+    steps (the fori tail was ~20% of the detect stage at K=160)."""
     from ..ops.boxes import iou, overlap_min_ratio
 
-    K = boxes.shape[0]
     iou_mat = iou(boxes, boxes)  # [K, K]
     cont_mat = overlap_min_ratio(boxes, boxes)
-    order = jnp.argsort(-scores)
+    # suppression graph; the diagonal is True (IoU(self)=1), so a winner
+    # removes itself from the live set
+    sup = (iou_mat > iou_thresh) | (cont_mat > 0.7)
 
     def body(i, state):
-        suppressed, keep_mask = state
-        idx = order[i]
-        is_live = jnp.logical_not(suppressed[idx])
-        keep_mask = keep_mask.at[idx].set(is_live)
-        # suppress everything overlapping or contained in idx (if kept)
-        overlap = (iou_mat[idx] > iou_thresh) | (cont_mat[idx] > 0.7)
-        suppressed = jnp.where(is_live, suppressed | overlap, suppressed)
-        return suppressed, keep_mask
+        live_scores, out_idx, out_scores = state
+        idx = jnp.argmax(live_scores)
+        sc = live_scores[idx]
+        out_idx = out_idx.at[i].set(idx)
+        out_scores = out_scores.at[i].set(sc)
+        live_scores = jnp.where(sup[idx], -jnp.inf, live_scores)
+        return live_scores, out_idx, out_scores
 
-    suppressed = jnp.zeros((K,), dtype=bool)
-    keep_mask = jnp.zeros((K,), dtype=bool)
-    suppressed, keep_mask = jax.lax.fori_loop(0, K, body, (suppressed, keep_mask))
-
-    kept_scores = jnp.where(keep_mask, scores, -jnp.inf)
-    top_scores, top_idx = jax.lax.top_k(kept_scores, max_out)
+    out_idx = jnp.zeros((max_out,), dtype=jnp.int32)
+    out_scores = jnp.full((max_out,), -jnp.inf, dtype=scores.dtype)
+    _, out_idx, out_scores = jax.lax.fori_loop(
+        0, max_out, body, (scores, out_idx, out_scores)
+    )
     return (
-        jnp.take(boxes, top_idx, axis=0),
-        top_scores,
-        jnp.isfinite(top_scores),
+        jnp.take(boxes, out_idx, axis=0),
+        out_scores,
+        jnp.isfinite(out_scores),
     )
 
 

@@ -23,8 +23,10 @@ DETECTOR_FILE = WEIGHTS_DIR / "detector_synthetic.npz"
 EMBEDDER_FILE = WEIGHTS_DIR / "embedder_synthetic.npz"
 LANDMARKS_FILE = WEIGHTS_DIR / "landmarks_synthetic.npz"
 
-# width multiplier the packaged synthetic embedder was trained at
-EMBEDDER_WIDTH = 0.25
+# width multiplier the packaged synthetic embedder was trained at —
+# full dlib ResNet-29 width (`/root/reference/pyannote/video/face/face.py:62`
+# loads dlib's width-1.0 model; capability parity needs the same capacity)
+EMBEDDER_WIDTH = 1.0
 
 
 def default_detector_params() -> Params:

@@ -42,31 +42,66 @@ def loss_fn(params, chips, labels):
     same_mask = same * (1.0 - eye)
     diff_mask = 1.0 - same
 
-    # dlib loss_metric hinges
+    # dlib loss_metric hinges.  Each term is normalised by the number of
+    # VIOLATING pairs (dlib does the same): averaging over all pairs
+    # dilutes the gradient once most pairs are satisfied — at full model
+    # width a handful of collapsed identity pairs (diff distance ≪ 0.64)
+    # otherwise stops improving long before the clustering threshold holds.
     same_loss = jnp.maximum(0.0, d - (THRESHOLD - MARGIN)) * same_mask
     diff_loss = jnp.maximum(0.0, (THRESHOLD + MARGIN) - d) * diff_mask
-    n_same = jnp.maximum(jnp.sum(same_mask), 1.0)
-    n_diff = jnp.maximum(jnp.sum(diff_mask), 1.0)
+    n_same = jnp.maximum(jnp.sum((same_loss > 0).astype(jnp.float32)), 1.0)
+    n_diff = jnp.maximum(jnp.sum((diff_loss > 0).astype(jnp.float32)), 1.0)
+    n_same_all = jnp.maximum(jnp.sum(same_mask), 1.0)
     # within-identity pull: the hinge alone tolerates same-pair distances
     # up to 0.56, but the reference's MEAN-PAIRWISE cluster linkage
     # (`face/clustering.py:100-110`) adds within-cluster variance on top of
     # the between-mean distance — alignment-jittered tracks of one identity
     # then exceed the 0.6 merge threshold (round-1 under-merge).  Shrinking
     # same-pair distances directly keeps cross-shot merges inside it.
-    pull_loss = PULL * jnp.sum(d * same_mask) / n_same
+    pull_loss = PULL * jnp.sum(d * same_mask) / n_same_all
     return (jnp.sum(same_loss) / n_same + jnp.sum(diff_loss) / n_diff
             + pull_loss), params_new
 
 
-def train(steps: int = 400, n_ident: int = 8, per_ident: int = 4,
+def _batch_stream(rng, identities, n_ident, per_ident, depth: int = 4):
+    """Generate batches in a background thread: chip rendering is host-bound
+    (~1 s/batch on one core) and otherwise serialises with the device step."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def worker():
+        while not stop.is_set():
+            batch = data.embedding_batch(rng, identities, n_ident=n_ident,
+                                         per_ident=per_ident)
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=0.5)
+                    break
+                except queue_mod.Full:
+                    pass
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()
+
+
+def train(steps: int = 400, n_ident: int = 16, per_ident: int = 3,
           width: float = None, seed: int = 0, lr: float = 1e-3,
-          log_every: int = 25):
+          log_every: int = 25, init_params: dict = None):
     from ..models.weights import EMBEDDER_WIDTH
 
     width = EMBEDDER_WIDTH if width is None else width
     rng = np.random.default_rng(seed)
     identities = data.identity_bank(64, seed=seed + 1)
-    params = embedder.init_params(jax.random.PRNGKey(seed), width=width)
+    params = (init_params if init_params is not None
+              else embedder.init_params(jax.random.PRNGKey(seed), width=width))
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr))
     opt_state = tx.init(params)
 
@@ -79,10 +114,9 @@ def train(steps: int = 400, n_ident: int = 8, per_ident: int = 4,
         return optax.apply_updates(params_bn, updates), opt_state, loss
 
     t0 = time.time()
+    stream = _batch_stream(rng, identities, n_ident, per_ident)
     for step in range(steps):
-        chips, labels = data.embedding_batch(rng, identities,
-                                             n_ident=n_ident,
-                                             per_ident=per_ident)
+        chips, labels = next(stream)
         params, opt_state, loss = step_fn(
             params, opt_state,
             jnp.asarray(chips, dtype=jnp.float32), jnp.asarray(labels),
@@ -90,15 +124,24 @@ def train(steps: int = 400, n_ident: int = 8, per_ident: int = 4,
         if step % log_every == 0 or step == steps - 1:
             print(f"step {step:5d}  loss {float(loss):.4f}  "
                   f"({time.time() - t0:.1f}s)", flush=True)
+    stream.close()
     return params
 
 
 def main():
+    """usage: train_embedder [steps] [out.npz] [--resume]
+
+    ``--resume`` continues from the packaged checkpoint (fresh optimizer).
+    """
+    from ..models.nn import load_params
     from ..models.weights import EMBEDDER_FILE
 
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    out = sys.argv[2] if len(sys.argv) > 2 else str(EMBEDDER_FILE)
-    params = train(steps=steps)
+    args = [a for a in sys.argv[1:] if a != "--resume"]
+    resume = "--resume" in sys.argv[1:]
+    steps = int(args[0]) if len(args) > 0 else 400
+    out = args[1] if len(args) > 1 else str(EMBEDDER_FILE)
+    init = load_params(str(EMBEDDER_FILE)) if resume else None
+    params = train(steps=steps, init_params=init)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     save_params(out, params)
     print("saved", out)
