@@ -1,0 +1,192 @@
+"""Unit tests for the warp kernels and the DSST correlation tracker.
+
+These ops were previously exercised only through the pipeline tests; here
+each gets a direct golden check (numpy bilinear reference, synthetic-motion
+tracking, greedy-NMS reference).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pyannote_video_tpu.ops import dsst
+from pyannote_video_tpu.ops.warp import gather_affine_warp, separable_resize_chips
+
+
+def _np_bilinear(img, ys, xs):
+    """Reference bilinear sampling with edge clamp (img [H, W] float)."""
+    H, W = img.shape
+    ys = np.clip(ys, 0.0, H - 1.0)
+    xs = np.clip(xs, 0.0, W - 1.0)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    wy = ys - y0
+    wx = xs - x0
+    top = img[y0, x0] * (1 - wx) + img[y0, x1] * wx
+    bot = img[y1, x0] * (1 - wx) + img[y1, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+class TestSeparableResizeChips:
+    def test_matches_numpy_reference(self):
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, size=(2, 40, 56, 1), dtype=np.uint8)
+        # two chips with different scale/offset, one per frame
+        matrices = np.asarray(
+            [[[1.7, 0.0, 3.2], [0.0, 1.3, 5.1]],
+             [[0.6, 0.0, -2.0], [0.0, 0.9, 30.0]]], dtype=np.float32)
+        frame_idx = np.asarray([0, 1], dtype=np.int32)
+        out = np.asarray(separable_resize_chips(
+            jnp.asarray(frames), jnp.asarray(frame_idx),
+            jnp.asarray(matrices), 8, 10))
+
+        px, py = np.arange(10, dtype=np.float32), np.arange(8, dtype=np.float32)
+        for n in range(2):
+            xs = matrices[n, 0, 2] + matrices[n, 0, 0] * px
+            ys = matrices[n, 1, 2] + matrices[n, 1, 1] * py
+            ref = _np_bilinear(frames[frame_idx[n], :, :, 0].astype(np.float32),
+                               ys[:, None], xs[None, :])
+            np.testing.assert_allclose(out[n, :, :, 0], ref, atol=1e-3)
+
+    def test_matches_gather_warp_axis_aligned(self):
+        rng = np.random.default_rng(1)
+        frames = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+        matrices = np.asarray(
+            [[[0.8, 0.0, 10.0], [0.0, 0.8, 4.0]]], dtype=np.float32)
+        idx = np.zeros((1,), dtype=np.int32)
+        a = np.asarray(separable_resize_chips(
+            jnp.asarray(frames), jnp.asarray(idx), jnp.asarray(matrices),
+            16, 16))
+        b = np.asarray(gather_affine_warp(
+            jnp.asarray(frames), jnp.asarray(idx), jnp.asarray(matrices),
+            16, 16))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_oversized_region_edge_clamps(self):
+        frames = np.full((1, 20, 20, 1), 7.0, dtype=np.float32)
+        # region far larger than the frame
+        matrices = np.asarray(
+            [[[10.0, 0.0, -40.0], [0.0, 10.0, -40.0]]], dtype=np.float32)
+        out = np.asarray(separable_resize_chips(
+            jnp.asarray(frames), jnp.zeros((1,), np.int32),
+            jnp.asarray(matrices), 12, 12))
+        np.testing.assert_allclose(out, 7.0)
+
+
+def _patch_scene(H=120, W=160, cx=80.0, cy=60.0, size=32.0, shift=(0.0, 0.0)):
+    """A textured square on a flat background, optionally shifted."""
+    rng = np.random.default_rng(42)
+    tex = rng.uniform(50, 200, size=(int(size), int(size))).astype(np.float32)
+    img = np.full((H, W), 30.0, dtype=np.float32)
+    y0 = int(round(cy + shift[0] - size / 2))
+    x0 = int(round(cx + shift[1] - size / 2))
+    img[y0:y0 + int(size), x0:x0 + int(size)] = tex
+    return img
+
+
+class TestDSST:
+    def test_tracks_translation(self):
+        size = 32.0
+        img0 = _patch_scene()
+        state = dsst.init_state(4)
+        boxes = jnp.asarray(
+            [[80 - size / 2, 60 - size / 2, 80 + size / 2, 60 + size / 2]],
+            dtype=jnp.float32)
+        state = dsst.start_tracks(
+            state, jnp.asarray(img0), boxes,
+            jnp.asarray([0], dtype=jnp.int32), jnp.asarray([True]))
+
+        dy, dx = 3.0, -4.0
+        img1 = _patch_scene(shift=(dy, dx))
+        state2, out_boxes, conf = dsst.step(state, jnp.asarray(img1), 5.0)
+        got = np.asarray(out_boxes[0])
+        got_cy = (got[1] + got[3]) / 2
+        got_cx = (got[0] + got[2]) / 2
+        assert abs(got_cy - (60 + dy)) < 2.0
+        assert abs(got_cx - (80 + dx)) < 2.0
+        assert float(conf[0]) > 5.0          # strong match
+        assert bool(state2.alive[0])
+        # untouched slots stay dead
+        assert not bool(state2.alive[1])
+
+    def test_lost_target_low_confidence(self):
+        size = 32.0
+        img0 = _patch_scene()
+        state = dsst.init_state(1)
+        boxes = jnp.asarray(
+            [[80 - size / 2, 60 - size / 2, 80 + size / 2, 60 + size / 2]],
+            dtype=jnp.float32)
+        state = dsst.start_tracks(
+            state, jnp.asarray(img0), boxes,
+            jnp.asarray([0], dtype=jnp.int32), jnp.asarray([True]))
+        # the target vanishes: flat frame
+        blank = np.full_like(img0, 30.0)
+        _, _, conf_match = dsst.step(state, jnp.asarray(img0), -np.inf)
+        _, _, conf_blank = dsst.step(state, jnp.asarray(blank), -np.inf)
+        assert float(conf_match[0]) > 2.0 * float(conf_blank[0])
+
+    def test_scan_matches_stepwise(self):
+        """track_scan over T frames == repeated step() calls."""
+        frames = np.stack([_patch_scene(shift=(0.5 * t, -0.7 * t))
+                           for t in range(6)])
+        size = 32.0
+        boxes = jnp.asarray(
+            [[80 - size / 2, 60 - size / 2, 80 + size / 2, 60 + size / 2]],
+            dtype=jnp.float32)
+
+        state = dsst.init_state(2)
+        state = dsst.start_tracks(
+            state, jnp.asarray(frames[0]), boxes,
+            jnp.asarray([0], dtype=jnp.int32), jnp.asarray([True]))
+        _, scan_boxes, scan_confs, _ = dsst.track_scan(
+            state, jnp.asarray(frames[1:]), 5.0)
+
+        state_it = dsst.init_state(2)
+        state_it = dsst.start_tracks(
+            state_it, jnp.asarray(frames[0]), boxes,
+            jnp.asarray([0], dtype=jnp.int32), jnp.asarray([True]))
+        for t in range(1, 6):
+            state_it, b, c = dsst.step(state_it, jnp.asarray(frames[t]), 5.0)
+            np.testing.assert_allclose(np.asarray(scan_boxes[t - 1, 0]),
+                                       np.asarray(b[0]), atol=1e-3)
+
+
+class TestDeviceNMS:
+    def _np_greedy_nms(self, boxes, scores, iou_thresh, cont_thresh, max_out):
+        from pyannote_video_tpu.ops.boxes import iou, overlap_min_ratio
+
+        iou_m = np.asarray(iou(jnp.asarray(boxes), jnp.asarray(boxes)))
+        cont_m = np.asarray(overlap_min_ratio(jnp.asarray(boxes),
+                                              jnp.asarray(boxes)))
+        live = scores.copy()
+        picks = []
+        for _ in range(max_out):
+            i = int(np.argmax(live))
+            if not np.isfinite(live[i]):
+                break
+            picks.append(i)
+            live[(iou_m[i] > iou_thresh) | (cont_m[i] > cont_thresh)] = -np.inf
+        return picks
+
+    def test_matches_reference(self):
+        from pyannote_video_tpu.models.fused import _device_nms
+
+        rng = np.random.default_rng(3)
+        K = 24
+        centers = rng.uniform(20, 200, size=(K, 2))
+        wh = rng.uniform(10, 40, size=(K, 2))
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2],
+                               axis=1).astype(np.float32)
+        scores = rng.uniform(-1, 8, size=(K,)).astype(np.float32)
+        scores = np.where(scores > 2.5, scores, -np.inf).astype(np.float32)
+
+        sel_boxes, sel_scores, valid = _device_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.3, 8)
+        got = [tuple(np.asarray(b)) for b, v in
+               zip(np.asarray(sel_boxes), np.asarray(valid)) if v]
+        want_idx = self._np_greedy_nms(boxes, scores.copy(), 0.3, 0.7, 8)
+        want = [tuple(boxes[i]) for i in want_idx]
+        assert got == want
