@@ -13,6 +13,18 @@ some displacement aligns content and the residual is small; across a cut,
 nothing aligns and the residual stays large — the same separation the
 Farneback+warp residual produces, at a tiny fraction of the cost.
 
+Sub-pixel compensation (``subpixel=True``, the default): slow pans move the
+downscaled image by fractions of a pixel per frame — integer displacement
+search leaves a residual proportional to the image gradient, the classic
+false-boundary source (Farneback's polynomial flow is sub-pixel, so the
+reference does not have this failure mode).  The residual-vs-displacement
+surface around the true motion is a V-shaped cone ``r(d) ≈ g·|d − δ|``;
+the V-interpolated vertex value ``r(d) − |r(d−1) − r(d+1)|/2`` (per axis,
+the stereo-matching sub-pixel rule) recovers the noise floor exactly for an
+ideal cone and is a no-op on the flat high surface of a real cut.  Applying
+the correction at every displacement and taking the min avoids an argmin
+gather and gives the same vertex value.
+
 The whole video runs as ONE jitted program over the ``[T, H, W]`` frame
 tensor: the displacement search is a ``lax.fori_loop`` carrying a running
 block-minimum (O(T·H·W) memory), and everything vectorises over T — no
@@ -28,8 +40,9 @@ import jax.numpy as jnp
 from jax import lax
 
 
-@partial(jax.jit, static_argnames=("radius", "block"))
-def dfd_series(gray: jnp.ndarray, radius: int = 3, block: int = 5) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("radius", "block", "subpixel"))
+def dfd_series(gray: jnp.ndarray, radius: int = 3, block: int = 5,
+               subpixel: bool = True) -> jnp.ndarray:
     """Displaced frame difference for all consecutive frame pairs.
 
     Parameters
@@ -43,6 +56,9 @@ def dfd_series(gray: jnp.ndarray, radius: int = 3, block: int = 5) -> jnp.ndarra
         Block size for the block-matching motion model (static).  The
         reference's Farneback flow is smooth over ~15 px windows
         (`shot.py:80`); blocks play the same regularising role.
+    subpixel : bool
+        V-interpolate the residual surface so sub-pixel motion (slow pans)
+        does not inflate the DFD (see module docstring).
 
     Returns
     -------
@@ -66,23 +82,46 @@ def dfd_series(gray: jnp.ndarray, radius: int = 3, block: int = 5) -> jnp.ndarra
     cur_pad = jnp.pad(cur, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
 
     n_by, n_bx = Hc // block, Wc // block
-    n_disp = (2 * radius + 1) ** 2
+    R = 2 * radius + 1
 
     def block_mean(x: jnp.ndarray) -> jnp.ndarray:
         # [P, Hc, Wc] -> [P, n_by, n_bx]
         return x.reshape(T - 1, n_by, block, n_bx, block).mean(axis=(2, 4))
 
-    def body(d: jnp.ndarray, best: jnp.ndarray) -> jnp.ndarray:
-        dy = d // (2 * radius + 1)
-        dx = d % (2 * radius + 1)
-        shifted = lax.dynamic_slice(
-            cur_pad, (0, dy, dx), (T - 1, Hc, Wc)
-        )
-        resid = block_mean(jnp.abs(prev - shifted))
-        return jnp.minimum(best, resid)
+    if not subpixel:
+        def body(d: jnp.ndarray, best: jnp.ndarray) -> jnp.ndarray:
+            dy = d // R
+            dx = d % R
+            shifted = lax.dynamic_slice(
+                cur_pad, (0, dy, dx), (T - 1, Hc, Wc)
+            )
+            resid = block_mean(jnp.abs(prev - shifted))
+            return jnp.minimum(best, resid)
 
-    init = jnp.full((T - 1, n_by, n_bx), jnp.inf, dtype=jnp.float32)
-    best = lax.fori_loop(0, n_disp, body, init)
+        init = jnp.full((T - 1, n_by, n_bx), jnp.inf, dtype=jnp.float32)
+        best = lax.fori_loop(0, R * R, body, init)
+        return best.mean(axis=(1, 2))
+
+    # sub-pixel: keep the whole residual surface [P, R, R, by, bx]
+    # (tiny — R²·(H/block)·(W/block) floats per pair) and take the min of
+    # V-corrected values.  The scan carries nothing, so XLA parallelises
+    # freely over displacements and pairs.
+    def one_disp(d):
+        dy = d // R
+        dx = d % R
+        shifted = lax.dynamic_slice(cur_pad, (0, dy, dx), (T - 1, Hc, Wc))
+        return block_mean(jnp.abs(prev - shifted))
+
+    resid = jax.vmap(one_disp)(jnp.arange(R * R))          # [D, P, by, bx]
+    resid = jnp.moveaxis(resid, 0, 3).reshape(T - 1, n_by, n_bx, R, R)
+    # neighbours along each displacement axis, edge-padded (border
+    # displacements get a one-sided, conservative correction)
+    padded = jnp.pad(resid, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1)),
+                     mode="edge")
+    corr_y = jnp.abs(padded[..., :-2, 1:-1] - padded[..., 2:, 1:-1]) * 0.5
+    corr_x = jnp.abs(padded[..., 1:-1, :-2] - padded[..., 1:-1, 2:]) * 0.5
+    corrected = jnp.maximum(resid - corr_y - corr_x, 0.0)
+    best = corrected.min(axis=(3, 4))                      # [P, by, bx]
     return best.mean(axis=(1, 2))
 
 

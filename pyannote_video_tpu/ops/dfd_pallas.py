@@ -46,33 +46,59 @@ PAIRS_PER_PROGRAM = 8  # sublane-aligned output rows per grid step
 
 
 def _dfd_kernel(prev_ref, curp_ref, by_ref, bx_ref, out_ref, *, radius,
-                hc, wc, block):
+                hc, wc, block, subpixel):
     by = by_ref[:]              # [n_by, hc]
     bx = bx_ref[:]              # [wc, n_bx]
     n_by, n_bx = by.shape[0], bx.shape[1]
+    R = 2 * radius + 1
 
     for p in range(PAIRS_PER_PROGRAM):
         prev = prev_ref[p]      # [hc, wc]
-        best = jnp.full((n_by, n_bx), jnp.inf, dtype=jnp.float32)
-        for dy in range(2 * radius + 1):
-            for dx in range(2 * radius + 1):
+
+        def pooled_row(dy):
+            row = []
+            for dx in range(R):
                 shifted = curp_ref[p, dy : dy + hc, dx : dx + wc]
                 resid = jnp.abs(prev - shifted)
                 # block means via two MXU matmuls:
                 # [n_by, hc] @ [hc, wc] @ [wc, n_bx]
-                pooled = jnp.dot(
+                row.append(jnp.dot(
                     jnp.dot(by, resid, preferred_element_type=jnp.float32),
                     bx, preferred_element_type=jnp.float32,
-                )
-                best = jnp.minimum(best, pooled)
+                ))
+            return row
+
+        best = jnp.full((n_by, n_bx), jnp.inf, dtype=jnp.float32)
+        if not subpixel:
+            for dy in range(R):
+                for pooled in pooled_row(dy):
+                    best = jnp.minimum(best, pooled)
+        else:
+            # V-corrected min (see ops/dfd.py docstring) with a sliding
+            # 3-row window so at most 3·R pooled maps are live — matches
+            # the XLA formulation's edge-padded correction exactly
+            prev_row = None
+            cur_row = pooled_row(0)
+            for dy in range(R):
+                next_row = pooled_row(dy + 1) if dy + 1 < R else None
+                up = prev_row if prev_row is not None else cur_row
+                down = next_row if next_row is not None else cur_row
+                for dx in range(R):
+                    left = cur_row[dx - 1] if dx > 0 else cur_row[dx]
+                    right = cur_row[dx + 1] if dx + 1 < R else cur_row[dx]
+                    corr = (jnp.abs(up[dx] - down[dx]) * 0.5
+                            + jnp.abs(left - right) * 0.5)
+                    best = jnp.minimum(
+                        best, jnp.maximum(cur_row[dx] - corr, 0.0))
+                prev_row, cur_row = cur_row, next_row
         # broadcast the scalar across the 128-lane output row (TPU tiling
         # requires lane-aligned VMEM blocks)
         out_ref[p, :] = jnp.full((128,), jnp.mean(best), dtype=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("radius", "block"))
+@partial(jax.jit, static_argnames=("radius", "block", "subpixel"))
 def dfd_series_pallas(gray: jnp.ndarray, radius: int = 3,
-                      block: int = 5) -> jnp.ndarray:
+                      block: int = 5, subpixel: bool = True) -> jnp.ndarray:
     """Pallas DFD series: gray [T, H, W] float32 → [T-1] float32.
 
     Same contract as `ops/dfd.py:dfd_series`.
@@ -95,7 +121,8 @@ def dfd_series_pallas(gray: jnp.ndarray, radius: int = 3,
                       mode="edge")
     by, bx = _pool_matrices(hc, wc, block)
 
-    kernel = partial(_dfd_kernel, radius=radius, hc=hc, wc=wc, block=block)
+    kernel = partial(_dfd_kernel, radius=radius, hc=hc, wc=wc, block=block,
+                     subpixel=subpixel)
     n_programs = (n_pairs + n_pad) // ppp
 
     out = pl.pallas_call(
@@ -119,14 +146,15 @@ def dfd_series_pallas(gray: jnp.ndarray, radius: int = 3,
 
 
 def dfd_series_auto(gray: jnp.ndarray, radius: int = 3,
-                    block: int = 5) -> jnp.ndarray:
+                    block: int = 5, subpixel: bool = True) -> jnp.ndarray:
     """Pallas kernel on TPU, XLA formulation elsewhere."""
     from .dfd import dfd_series
 
     backend = jax.default_backend()
     if backend in ("tpu", "axon") and gray.shape[0] >= 2:
         try:
-            return dfd_series_pallas(gray, radius=radius, block=block)
+            return dfd_series_pallas(gray, radius=radius, block=block,
+                                     subpixel=subpixel)
         except Exception:  # pragma: no cover - kernel lowering gaps
             pass
-    return dfd_series(gray, radius=radius, block=block)
+    return dfd_series(gray, radius=radius, block=block, subpixel=subpixel)

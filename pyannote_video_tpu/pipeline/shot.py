@@ -53,9 +53,22 @@ class Shot:
     def __init__(self, video: Video, height: int = 50, context: float = 2.0,
                  threshold: float = 1.0, radius: int = 3, block: int = 5,
                  batch_size: int = 256, pad_mode: str = "reflect",
-                 method: str = "block"):
+                 method: str = "block", subpixel: bool = True,
+                 noise_floor: float = 1.0):
         self.video = video
         self.pad_mode = pad_mode
+        # sub-pixel V-interpolation in the block DFD (ops/dfd.py): kills the
+        # slow-pan false-boundary mode of integer displacement search
+        self.subpixel = subpixel
+        # additive denominator floor for the median normalisation, in DFD
+        # units.  The reference's exact rule is (y - med)/med
+        # (`shot.py:127`), which explodes when the between-cut residual
+        # approaches zero (very clean/static footage): any fluctuation then
+        # normalises arbitrarily high.  The default floor of one gray level
+        # bounds that amplification; on realistic footage the DFD median is
+        # well above 1, so boundary decisions match the reference
+        # (`noise_floor=0.0` restores the bare reference formula).
+        self.noise_floor = noise_floor
         # "block": fused block-matching DFD (default, fastest).
         # "farneback": dense-flow-compensated residual — the reference's
         # exact formulation (`shot.py:75-99`) via ops/flow.py.
@@ -107,7 +120,8 @@ class Shot:
                     from ..ops.dfd_pallas import dfd_series_auto
 
                     d = dfd_series_auto(gray, radius=self.radius,
-                                        block=self.block)
+                                        block=self.block,
+                                        subpixel=self.subpixel)
                 dfd_out.append(np.asarray(d))
                 ts_out.append(np.asarray(pair_ts))
             carry_frame = np.asarray(gray[-1])
@@ -132,7 +146,8 @@ class Shot:
         filtered = np.asarray(
             medfilt1d(jnp.asarray(y), self._kernel_size, mode=self.pad_mode)
         )
-        normalized = (y - filtered) / np.where(filtered == 0.0, 1e-12, filtered)
+        denom = filtered + self.noise_floor
+        normalized = (y - filtered) / np.where(denom == 0.0, 1e-12, denom)
         return ts, normalized
 
     def __iter__(self) -> Iterator[Segment]:

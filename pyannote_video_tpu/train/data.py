@@ -22,12 +22,22 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
 
     Returns (frames [B, H, W, 3] uint8, per-frame GT box lists).
     """
+    import cv2
     from dataclasses import replace
 
     frames = np.empty((batch, height, width, 3), dtype=np.uint8)
     boxes: List[List[Tuple[float, float, float, float]]] = []
     for b in range(batch):
-        bg = _background(width, height, rng)
+        # super-scale augmentation: at inference, large faces reach the
+        # detector through the pyramid's bilinear downscale
+        # (`models/detector.py:_level_candidates`), which smooths edges and
+        # aliases texture — crisply rendered window-scale faces never look
+        # like that.  Render half the crops at a random super-scale and
+        # bilinear-downscale, covering the pyramid's appearance
+        # distribution up to ~5x faces (192 px at 480p).
+        ss = float(rng.uniform(1.5, 4.8)) if rng.random() < 0.5 else 1.0
+        ch, cw = int(round(height * ss)), int(round(width * ss))
+        bg = _background(cw, ch, rng)
         gt: List[Tuple[float, float, float, float]] = []
         # face-like decoy negatives: skin-tone ellipses WITHOUT facial
         # structure, so the detector must key on eyes/mouth geometry
@@ -35,23 +45,27 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
         if rng.random() < 0.5:
             decoy = FaceParams.random(rng)
             decoy = replace(decoy, eye_r=0.0, mouth_w=0.0, nose_len=0.2)
-            dh = WINDOW * rng.uniform(0.8, 1.3)
-            dcx = rng.uniform(dh, width - dh)
-            dcy = rng.uniform(dh / 2, height - dh / 2)
+            dh = WINDOW * ss * rng.uniform(0.8, 1.3)
+            dcx = rng.uniform(dh, cw - dh)
+            dcy = rng.uniform(dh / 2, ch - dh / 2)
             render_face(bg, dcx, dcy, dh, decoy)
         n_faces = rng.integers(0, 3) if rng.random() < p_face else 0
         for _ in range(n_faces):
             params = FaceParams.random(rng)
-            face_h = WINDOW * rng.uniform(0.85, 1.2)
+            face_h = WINDOW * ss * rng.uniform(0.85, 1.2)
             half_w = face_h / 2.0 / params.aspect
-            cx = rng.uniform(half_w + 2, width - half_w - 2)
-            cy = rng.uniform(face_h / 2 + 2, height - face_h / 2 - 2)
+            cx = rng.uniform(half_w + 2, cw - half_w - 2)
+            cy = rng.uniform(face_h / 2 + 2, ch - face_h / 2 - 2)
             # avoid heavy overlap with existing faces
             if any(abs(cx - (g[0] + g[2]) / 2) < face_h * 0.8
                    and abs(cy - (g[1] + g[3]) / 2) < face_h * 0.8 for g in gt):
                 continue
             render_face(bg, cx, cy, face_h, params)
             gt.append((cx - half_w, cy - face_h / 2, cx + half_w, cy + face_h / 2))
+        if ss != 1.0:
+            bg = cv2.resize(bg, (width, height),
+                            interpolation=cv2.INTER_LINEAR)
+            gt = [tuple(v / ss for v in g) for g in gt]
         noise = rng.normal(0, 2.0, size=bg.shape)
         frames[b] = np.clip(bg + noise, 0, 255).astype(np.uint8)
         boxes.append(gt)
@@ -108,6 +122,8 @@ def embedding_batch(rng: np.random.Generator,
     small geometric jitter, varying background/lighting — the embedder must
     become invariant to everything except identity.
     """
+    import cv2
+
     ids = rng.choice(list(identities), size=min(n_ident, len(identities)),
                      replace=False)
     chips = np.empty((len(ids) * per_ident, chip_size, chip_size, 3),
@@ -118,14 +134,25 @@ def embedding_batch(rng: np.random.Generator,
     for ident in ids:
         params = identities[int(ident)]
         for _ in range(per_ident):
-            bg = _background(chip_size, chip_size, rng)
+            # resampling augmentation: pipeline chips are 2-tap-downscaled
+            # from frames where the face spans up to ~2× the chip size
+            # (`models/chip.py:extract_chips`), so render at a random
+            # super-scale and bilinear-downscale — a chip rendered directly
+            # at 150 px has crisp edges the extracted chips never have,
+            # and that train/serve gap showed up as cross-shot under-merge
+            ss = float(rng.uniform(1.0, 2.2))
+            cs = int(round(chip_size * ss))
+            bg = _background(cs, cs, rng)
             # geometric jitter covers realistic landmark-alignment noise
             # (detector box offset + ERT residual) so downstream chips from
             # tracked boxes stay inside the invariance envelope
-            cx = chip_size / 2 + rng.uniform(-12, 12)
-            cy = chip_size / 2 + rng.uniform(-12, 12)
-            h = face_h * rng.uniform(0.8, 1.22)
+            cx = cs / 2 + rng.uniform(-12, 12) * ss
+            cy = cs / 2 + rng.uniform(-12, 12) * ss
+            h = face_h * ss * rng.uniform(0.8, 1.22)
             render_face(bg, cx, cy, h, params)
+            if cs != chip_size:
+                bg = cv2.resize(bg, (chip_size, chip_size),
+                                interpolation=cv2.INTER_LINEAR)
             gain = rng.uniform(0.8, 1.2)
             bias = rng.uniform(-15, 15)
             noise = rng.normal(0, 3.0, size=bg.shape)

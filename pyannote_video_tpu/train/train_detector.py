@@ -55,9 +55,11 @@ def loss_fn(params, frames, labels, deltas, delta_mask):
 
 
 def train(steps: int = 600, batch: int = 16, size: int = 128,
-          seed: int = 0, lr: float = 3e-4, log_every: int = 50):
+          seed: int = 0, lr: float = 3e-4, log_every: int = 50,
+          init_params: dict = None):
     rng = np.random.default_rng(seed)
-    params = detector.init_params(jax.random.PRNGKey(seed))
+    params = (init_params if init_params is not None
+              else detector.init_params(jax.random.PRNGKey(seed)))
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
@@ -70,10 +72,30 @@ def train(steps: int = 600, batch: int = 16, size: int = 128,
         return optax.apply_updates(params_bn, updates), opt_state, loss
 
     t0 = time.time()
+
+    # overlap host-side crop rendering with the device step (super-scale
+    # rendering is host-bound; same pattern as train_embedder._batch_stream)
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4)
+    stop = threading.Event()
+
+    def worker():
+        while not stop.is_set():
+            frames, boxes = data.detection_batch(rng, batch=batch,
+                                                 height=size, width=size)
+            item = (frames, data.detection_targets(boxes, size, size))
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    break
+                except queue_mod.Full:
+                    pass
+
+    threading.Thread(target=worker, daemon=True).start()
     for step in range(steps):
-        frames, boxes = data.detection_batch(rng, batch=batch,
-                                             height=size, width=size)
-        labels, deltas, mask = data.detection_targets(boxes, size, size)
+        frames, (labels, deltas, mask) = q.get()
         params, opt_state, loss = step_fn(
             params, opt_state,
             jnp.asarray(frames, dtype=jnp.float32), jnp.asarray(labels),
@@ -82,15 +104,24 @@ def train(steps: int = 600, batch: int = 16, size: int = 128,
         if step % log_every == 0 or step == steps - 1:
             print(f"step {step:5d}  loss {float(loss):.4f}  "
                   f"({time.time() - t0:.1f}s)", flush=True)
+    stop.set()
     return params
 
 
 def main():
+    """usage: train_detector [steps] [out.npz] [--resume]
+
+    ``--resume`` continues from the packaged checkpoint (fresh optimizer).
+    """
+    from ..models.nn import load_params
     from ..models.weights import DETECTOR_FILE
 
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 600
-    out = sys.argv[2] if len(sys.argv) > 2 else str(DETECTOR_FILE)
-    params = train(steps=steps)
+    args = [a for a in sys.argv[1:] if a != "--resume"]
+    resume = "--resume" in sys.argv[1:]
+    steps = int(args[0]) if len(args) > 0 else 600
+    out = args[1] if len(args) > 1 else str(DETECTOR_FILE)
+    init = load_params(str(DETECTOR_FILE)) if resume else None
+    params = train(steps=steps, init_params=init)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     save_params(out, params)
     print("saved", out)

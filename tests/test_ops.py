@@ -66,6 +66,31 @@ class TestDFD:
         naive = float(np.abs(f0 - f1).mean())
         assert d < 0.15 * naive
 
+    def test_subpixel_translation_compensated(self):
+        # a HALF-pixel global shift (bilinear-resampled) is invisible to
+        # integer displacement search; the V-interpolated surface recovers
+        # the noise floor (slow-pan false-boundary fix)
+        rng = np.random.default_rng(7)
+        noise = rng.uniform(0, 255, size=(44, 64)).astype(np.float32)
+        # smooth the texture: natural images are dominated by low spatial
+        # frequencies, where sub-pixel shift ≈ linear ramp and the V-model
+        # is accurate (white noise would be dominated by the blend's
+        # low-pass loss instead)
+        k = np.ones(5) / 5
+        big = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 1,
+            np.apply_along_axis(
+                lambda c: np.convolve(c, k, mode="same"), 0, noise))
+        big = big.astype(np.float32)
+        f0 = big[2:42, 2:62]
+        f1 = 0.5 * big[2:42, 2:62] + 0.5 * big[3:43, 2:62]  # 0.5 px down
+        frames = jnp.asarray(np.stack([f0, f1]))
+        d_sub = float(dfd_series(frames, subpixel=True)[0])
+        d_int = float(dfd_series(frames, subpixel=False)[0])
+        # integer search is stuck with the half-pixel residual; the
+        # corrected min removes most of it
+        assert d_sub < 0.35 * d_int
+
     def test_cut_stays_large(self):
         rng = np.random.default_rng(2)
         f0 = rng.uniform(0, 255, size=(40, 60)).astype(np.float32)
