@@ -153,6 +153,19 @@ def main():
     t_track = bench(run_track)
     t_extract = bench(run_extract)
 
+    # ---- stage: shot boundary (structure CLI's hot op; not part of the
+    # face north-star sum, reported as an extra field).  720p frames enter
+    # the DFD at analysis height 50 (`pipeline/shot.py`); bench the fused
+    # gray+resize + sub-pixel Pallas DFD over the whole shot.
+    from pyannote_video_tpu.ops.color import ingest_gray
+    from pyannote_video_tpu.ops.dfd_pallas import dfd_series_auto
+
+    def run_shot():
+        g = ingest_gray(frames, 50, 50 * W // H)
+        return _sync(dfd_series_auto(g))
+
+    t_shot = bench(run_shot)
+
     # ---- sustained ingest: host RAM → device (prefetch-overlapped) → detect
     # The end-to-end feed path the kernel metric excludes: raw 720p uint8
     # batches stream through `io.batch.prefetch_to_device` (double-buffered
@@ -200,6 +213,7 @@ def main():
             "detect": round(T_SHOT / t_det, 1),
             "track": round(T_SHOT / t_track, 1),
             "extract": round(T_SHOT / t_extract, 1),
+            "shot": round(T_SHOT / t_shot, 1),
         },
         "sustained_ingest_fps": round(sustained_fps, 1),
         "config": {"frames": T_SHOT, "detect_every": DETECT_EVERY,

@@ -357,6 +357,37 @@ def demo(filename, tracking_path, output, t_start=0.0, t_end=None, shift=0.0,
 
         writer.write(frame[:, :, ::-1])  # RGB -> BGR
     writer.release()
+    _mux_audio(filename, output, t_start, t_end, ffmpeg=ffmpeg)
+
+
+def _mux_audio(source, output, t_start, t_end, ffmpeg=None):
+    """Copy the source's audio track into the rendered demo.
+
+    The reference gets audio passthrough for free from moviepy's ffmpeg
+    writer (`pyannote-face.py:408-413`); cv2.VideoWriter is video-only, so
+    when an ffmpeg binary is available the demo is re-muxed in place.
+    Without one (e.g. this image) the demo stays silent with a warning —
+    same pixels either way.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+    import warnings
+
+    ffmpeg_bin = ffmpeg or shutil.which("ffmpeg")
+    if not ffmpeg_bin or not shutil.which(ffmpeg_bin):
+        warnings.warn("no ffmpeg binary found - demo has no audio track")
+        return
+    tmp = tempfile.mktemp(suffix=output[output.rfind("."):])
+    cmd = [ffmpeg_bin, "-y", "-i", output, "-ss", f"{t_start:.3f}",
+           "-to", f"{t_end:.3f}", "-i", source,
+           "-map", "0:v", "-map", "1:a?", "-c:v", "copy", "-c:a", "aac",
+           "-shortest", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        shutil.move(tmp, output)
+    except (subprocess.CalledProcessError, OSError) as exc:
+        warnings.warn(f"audio mux failed ({exc}); demo has no audio track")
 
 
 def main(argv=None):

@@ -134,13 +134,14 @@ def embedding_batch(rng: np.random.Generator,
     for ident in ids:
         params = identities[int(ident)]
         for _ in range(per_ident):
-            # resampling augmentation: pipeline chips are 2-tap-downscaled
-            # from frames where the face spans up to ~2× the chip size
-            # (`models/chip.py:extract_chips`), so render at a random
-            # super-scale and bilinear-downscale — a chip rendered directly
+            # resampling augmentation: pipeline chips are 2-tap-resampled
+            # from frames where the face spans anywhere from ~0.5× (small
+            # faces at 240p: the chip warp UPSCALES, blurring) to ~2× the
+            # chip size (large faces: downscale smooths + aliases)
+            # (`models/chip.py:extract_chips`) — a chip rendered directly
             # at 150 px has crisp edges the extracted chips never have,
             # and that train/serve gap showed up as cross-shot under-merge
-            ss = float(rng.uniform(1.0, 2.2))
+            ss = float(rng.uniform(0.5, 2.2))
             cs = int(round(chip_size * ss))
             bg = _background(cs, cs, rng)
             # geometric jitter covers realistic landmark-alignment noise

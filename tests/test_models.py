@@ -305,3 +305,37 @@ class TestDlibConvert:
         # BASELINE.md parity bar: cosine distance <= 1e-3; the round-trip
         # through the exact wire format should be far tighter
         assert np.all(1.0 - cos <= 1e-5), cos
+
+
+class TestTrainData:
+    def test_detection_batch_superscale_bounds(self):
+        from pyannote_video_tpu.train import data as tdata
+        from pyannote_video_tpu.models.detector import WINDOW
+
+        rng = np.random.default_rng(5)
+        frames, boxes = tdata.detection_batch(rng, batch=12, height=128,
+                                              width=128)
+        assert frames.shape == (12, 128, 128, 3)
+        assert frames.dtype == np.uint8
+        n_faces = 0
+        for gt in boxes:
+            for (l, t, r, b) in gt:
+                n_faces += 1
+                # boxes stay inside the (possibly downscaled) crop ...
+                assert -1.0 <= l < r <= 129.0
+                assert -1.0 <= t < b <= 129.0
+                # ... and face heights stay inside the detector's window
+                # band regardless of the render super-scale
+                assert WINDOW * 0.8 <= (b - t) <= WINDOW * 1.25
+        assert n_faces > 0
+
+    def test_embedding_batch_resample_range(self):
+        from pyannote_video_tpu.train import data as tdata
+
+        rng = np.random.default_rng(6)
+        bank = tdata.identity_bank(6, seed=9)
+        chips, labels = tdata.embedding_batch(rng, bank, n_ident=3,
+                                              per_ident=2)
+        assert chips.shape == (6, 150, 150, 3)
+        assert chips.dtype == np.uint8
+        assert set(np.asarray(labels)) <= set(bank)
