@@ -118,6 +118,17 @@ def forward(params: Params, chips: jnp.ndarray, train: bool = False,
 
     pooled = global_avg_pool(h)
     emb = jnp.dot(pooled, params["fc"], preferred_element_type=jnp.float32)
+    # L2-normalise the embedding.  dlib's embeddings live at ~unit norm
+    # (implicitly bounded by its loss_metric training); an unnormalised
+    # head trained on a finite synthetic identity bank instead drifts to a
+    # large-radius shell (‖e‖≈240 was observed) where UNSEEN identities
+    # embed unstably — frame-to-frame distances of 10-40 against a 0.6
+    # clustering threshold.  Fixing the scale makes the hinge margins
+    # angular, which generalises: distances are bounded by 2 and vary
+    # smoothly for out-of-bank faces.  (`face/clustering.py:138` threshold
+    # semantics are preserved — same 0.6 operating point.)
+    emb = emb * jax.lax.rsqrt(jnp.sum(emb * emb, axis=-1, keepdims=True)
+                              + 1e-12)
 
     if train:
         new_params = {**params, "stem_bn": stem_bn, "blocks": new_blocks}
@@ -149,7 +160,16 @@ class FaceEmbedder:
         elif model_path is not None:
             self.params = load_params(model_path)
         else:
-            self.params = init_params(jax.random.PRNGKey(0), width=width)
+            # packaged weights, like FaceDetector/LandmarkPredictor — the
+            # no-path constructor previously random-initialised, which made
+            # `pyannote-face extract "" ""` silently emit untrained
+            # embeddings (clusters never merged)
+            from .weights import EMBEDDER_FILE, default_embedder_params
+
+            if EMBEDDER_FILE.exists():
+                self.params = default_embedder_params()
+            else:
+                self.params = init_params(jax.random.PRNGKey(0), width=width)
 
     def __call__(self, chips) -> np.ndarray:
         return np.asarray(embed(self.params, jnp.asarray(chips)))

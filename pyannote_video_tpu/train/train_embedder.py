@@ -99,7 +99,11 @@ def train(steps: int = 400, n_ident: int = 16, per_ident: int = 3,
 
     width = EMBEDDER_WIDTH if width is None else width
     rng = np.random.default_rng(seed)
-    identities = data.identity_bank(64, seed=seed + 1)
+    # a large bank forces identity-generalisation: with 64 identities the
+    # (unnormalised) head could memorise per-identity directions; unseen
+    # faces then embedded unstably.  512 identities ≫ 128 embedding dims,
+    # so the net must learn appearance features rather than a lookup.
+    identities = data.identity_bank(512, seed=seed + 1)
     params = (init_params if init_params is not None
               else embedder.init_params(jax.random.PRNGKey(seed), width=width))
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr))

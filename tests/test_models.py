@@ -339,3 +339,17 @@ class TestTrainData:
         assert chips.shape == (6, 150, 150, 3)
         assert chips.dtype == np.uint8
         assert set(np.asarray(labels)) <= set(bank)
+
+    def test_no_arg_ctor_uses_packaged_weights(self):
+        # regression: FaceEmbedder() used to random-initialise, so the CLI
+        # extract path (`FaceEmbedder(embedding_model or None)`) silently
+        # produced untrained embeddings
+        import pytest
+        from pyannote_video_tpu.models.weights import EMBEDDER_FILE
+        if not EMBEDDER_FILE.exists():
+            pytest.skip("no packaged weights")
+        from pyannote_video_tpu.models.embedder import FaceEmbedder
+        from pyannote_video_tpu.models.weights import default_embedder_params
+        a = FaceEmbedder().params
+        b = default_embedder_params()
+        np.testing.assert_array_equal(np.asarray(a["fc"]), np.asarray(b["fc"]))
