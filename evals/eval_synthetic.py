@@ -70,12 +70,13 @@ def _segment_label_map(annotation, shots):
 
 def evaluate(seed: int = 101, n_shots: int = 12, shot_frames: int = 20,
              width: int = 640, height: int = 480,
-             n_identities: int = 6) -> dict:
+             n_identities: int = 6, faces_per_shot: int = 1) -> dict:
     import jax.numpy as jnp
 
     ep = synthetic_episode(
         n_shots=n_shots, shot_frames=shot_frames, width=width, height=height,
-        seed=seed, face_height_ratio=0.4, n_identities=n_identities,
+        seed=seed, face_height_ratio=0.35 if faces_per_shot > 1 else 0.4,
+        n_identities=n_identities, faces_per_shot=faces_per_shot,
         thread_pattern=THREAD_PATTERN[:n_shots],
     )
     video = Video(ep.frames, fps=ep.fps)
@@ -197,7 +198,8 @@ def evaluate(seed: int = 101, n_shots: int = 12, shot_frames: int = 20,
     return {
         "seed": seed,
         "config": f"{n_shots} shots x {shot_frames} frames @ "
-                  f"{width}x{height}, {n_identities} identities",
+                  f"{width}x{height}, {n_identities} identities, "
+                  f"{faces_per_shot} face(s)/shot",
         "boundary_f1": round(bf1["f1"], 3),
         "thread_f1": round(thread_prf["f1"], 3),
         "scene_f1": round(scene_prf["f1"], 3),
@@ -215,5 +217,10 @@ def evaluate(seed: int = 101, n_shots: int = 12, shot_frames: int = 20,
 
 
 if __name__ == "__main__":
-    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 101
-    print(json.dumps(evaluate(seed=seed)))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    faces = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--faces="):
+            faces = int(a.split("=", 1)[1])
+    seed = int(args[0]) if args else 101
+    print(json.dumps(evaluate(seed=seed, faces_per_shot=faces)))
