@@ -153,6 +153,34 @@ def main():
     t_track = bench(run_track)
     t_extract = bench(run_extract)
 
+    # ---- pipelined combined: all three stages dispatched back-to-back,
+    # ONE sync per whole-shot round.  This is how a streaming pipeline
+    # runs (shot N+1's programs enqueue while shot N executes; the host
+    # reads results asynchronously), so per-dispatch relay latency
+    # (~30-40 ms/sync through this environment's tunnel) is paid once per
+    # shot instead of once per stage.  Association is on-device
+    # (`ops/dsst.py:shot_scan`), so detect→track genuinely chains without
+    # a host round-trip in the real pipeline too.
+    def run_pipelined():
+        out_d = fused(pipe.detector_params, pipe.embedder_params,
+                      pipe.landmark_arrays, det_frames)
+        packs = []
+        for g in (grays, grays_rev):
+            state = dsst.init_state(N_SLOTS)
+            uid0 = jnp.full((N_SLOTS,), -1, dtype=jnp.int32)
+            _, packed, _ = dsst.shot_scan_jit(
+                state, uid0, jnp.int32(0), g, frame_valid,
+                det_boxes_j, det_valid_j, 10.0, 0.3, 0.6,
+            )
+            packs.append(packed[-1, :, 0])
+        out_e = extract_prog(pipe.landmark_arrays, pipe.embedder_params,
+                             frames, frame_idx, boxes)
+        # one combined scalar readback → exactly one relay round-trip
+        return _sync(jnp.sum(out_d.scores) + jnp.sum(packs[0])
+                     + jnp.sum(packs[1]) + jnp.sum(out_e))
+
+    t_pipe = bench(run_pipelined)
+
     # ---- stage: shot boundary (structure CLI's hot op; not part of the
     # face north-star sum, reported as an extra field).  720p frames enter
     # the DFD at analysis height 50 (`pipeline/shot.py`); bench the fused
@@ -201,14 +229,17 @@ def main():
     t_sustained = time.perf_counter() - t0
     sustained_fps = n_frames / t_sustained
 
-    combined_fps = T_SHOT / (t_det + t_track + t_extract)
+    combined_fps = T_SHOT / t_pipe
+    sequential_fps = T_SHOT / (t_det + t_track + t_extract)
     print(json.dumps({
         "metric": "720p detect+track+embed fps/chip "
                   "(batched detector + whole-shot DSST scan fwd/bwd + "
-                  "ERT/chip/ResNet-29 extract)",
+                  "ERT/chip/ResNet-29 extract; stages dispatched "
+                  "back-to-back, one sync per shot)",
         "value": round(combined_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(combined_fps / TARGET_FPS, 3),
+        "sequential_sync_fps": round(sequential_fps, 2),
         "stage_fps": {
             "detect": round(T_SHOT / t_det, 1),
             "track": round(T_SHOT / t_track, 1),
