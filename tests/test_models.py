@@ -353,3 +353,31 @@ class TestTrainData:
         a = FaceEmbedder().params
         b = default_embedder_params()
         np.testing.assert_array_equal(np.asarray(a["fc"]), np.asarray(b["fc"]))
+
+    def test_unseen_identity_absolute_margins(self):
+        # the 0.6 clustering threshold must hold in ABSOLUTE distance for
+        # identities outside the training bank (round-2 regression: an
+        # unnormalised head embedded unseen identities at distances 10-40)
+        import pytest
+        from pyannote_video_tpu.models.weights import EMBEDDER_FILE
+        if not EMBEDDER_FILE.exists():
+            pytest.skip("no packaged weights")
+        from pyannote_video_tpu.models import embedder as emb_mod
+        from pyannote_video_tpu.models.weights import default_embedder_params
+        from pyannote_video_tpu.train import data as tdata
+
+        params = default_embedder_params()
+        rng = np.random.default_rng(31337)
+        bank = tdata.identity_bank(8, seed=31337)  # unseen (train seed 1)
+        chips, labels = tdata.embedding_batch(rng, bank, n_ident=6,
+                                              per_ident=4)
+        e = np.asarray(emb_mod.embed(params, jnp.asarray(chips, jnp.float32)))
+        # normalised head: unit vectors
+        np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-3)
+        d = np.sqrt(((e[:, None] - e[None]) ** 2).sum(-1))
+        same = labels[:, None] == labels[None, :]
+        np.fill_diagonal(same, False)
+        diff = ~(labels[:, None] == labels[None, :])
+        # comfortable slack around the 0.6 operating point
+        assert d[same].max() < 0.5, d[same].max()
+        assert d[diff].mean() > 0.8, d[diff].mean()
