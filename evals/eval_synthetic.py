@@ -95,9 +95,6 @@ def evaluate(seed: int = 101, n_shots: int = 12, shot_frames: int = 20,
     thread_prf = pairwise_prf(thread_map, thread_truth)
 
     scenes = scenes_from_threads(threads)
-    scene_map = _segment_label_map(
-        scenes, [Segment(s.start, s.end)
-                 for s, _, _ in scenes.itertracks(yield_label=True)])
     # map scenes back onto shots by containment
     shot_scene = {}
     for i, s in enumerate(gt_shots):

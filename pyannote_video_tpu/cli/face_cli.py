@@ -186,7 +186,10 @@ def track(video, shot_path, output,
                 foutput.flush()
         video.start, video.end = old_start, old_end
         if rank == 0:
-            merge_tracking_parts(output, world, wait_s=3600.0)
+            # include_existing folds the pre-restart tracks kept by
+            # --resume into the merge (the merge rewrites `output`)
+            merge_tracking_parts(output, world, wait_s=3600.0,
+                                 include_existing=resume)
     else:
         with open(output, "a" if resume else "w") as foutput:
             for offset, trk in enumerate(tracking(video, shots)):
@@ -374,11 +377,16 @@ def _mux_audio(source, output, t_start, t_end, ffmpeg=None):
     import tempfile
     import warnings
 
+    import os
+
     ffmpeg_bin = ffmpeg or shutil.which("ffmpeg")
     if not ffmpeg_bin or not shutil.which(ffmpeg_bin):
         warnings.warn("no ffmpeg binary found - demo has no audio track")
         return
-    tmp = tempfile.mktemp(suffix=output[output.rfind("."):])
+    dot = output.rfind(".")
+    suffix = output[dot:] if dot > 0 else ".avi"
+    fd, tmp = tempfile.mkstemp(suffix=suffix)
+    os.close(fd)
     cmd = [ffmpeg_bin, "-y", "-i", output, "-ss", f"{t_start:.3f}",
            "-to", f"{t_end:.3f}", "-i", source,
            "-map", "0:v", "-map", "1:a?", "-c:v", "copy", "-c:a", "aac",
@@ -388,6 +396,10 @@ def _mux_audio(source, output, t_start, t_end, ffmpeg=None):
         shutil.move(tmp, output)
     except (subprocess.CalledProcessError, OSError) as exc:
         warnings.warn(f"audio mux failed ({exc}); demo has no audio track")
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def main(argv=None):

@@ -163,10 +163,12 @@ class FaceEmbedder:
             # packaged weights, like FaceDetector/LandmarkPredictor — the
             # no-path constructor previously random-initialised, which made
             # `pyannote-face extract "" ""` silently emit untrained
-            # embeddings (clusters never merged)
+            # embeddings (clusters never merged).  An explicit non-default
+            # width requests a fresh model at that width (the packaged
+            # weights are width 1.0), so it must not be silently ignored.
             from .weights import EMBEDDER_FILE, default_embedder_params
 
-            if EMBEDDER_FILE.exists():
+            if width == 1.0 and EMBEDDER_FILE.exists():
                 self.params = default_embedder_params()
             else:
                 self.params = init_params(jax.random.PRNGKey(0), width=width)

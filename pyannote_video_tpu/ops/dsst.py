@@ -146,14 +146,13 @@ def _slot_ffts(images: jnp.ndarray, frame_idx: jnp.ndarray,
     return jnp.fft.rfft2(_features(patches, hann))
 
 
-@jax.jit
-def start_tracks(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
-                 slots: jnp.ndarray, mask: jnp.ndarray) -> TrackState:
-    """Initialise trackers in the given slots from detection boxes.
+def _filter_init_from_boxes(gray: jnp.ndarray, boxes: jnp.ndarray):
+    """MOSSE filter initialisation for a batch of boxes on one frame.
 
-    gray [H, W] float32; boxes [M, 4] (left, top, right, bottom);
-    slots [M] int32 target slot per box; mask [M] bool (padding rows off).
-    Mirrors ``dlib.correlation_tracker().start_track`` (`tracking.py:250-251`).
+    Returns (pos [M, 2], size [M, 2], num complex [M, P, Pr],
+    den [M, P, Pr]) — shared by ``start_tracks`` (scatter into chosen
+    slots) and ``restart_slots`` (full-width select) so the init math
+    cannot diverge between the two paths.
     """
     hann = _hann2d()
     G = _gaussian_target_fft()
@@ -170,9 +169,22 @@ def start_tracks(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     zero_idx = jnp.zeros((pos.shape[0],), dtype=jnp.int32)
     F = _slot_ffts(gray[None], zero_idx, pos, size, hann)
     num = G[None] * jnp.conj(F)
+    den = (F * jnp.conj(F)).real
+    return pos, size, num, den
+
+
+@jax.jit
+def start_tracks(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
+                 slots: jnp.ndarray, mask: jnp.ndarray) -> TrackState:
+    """Initialise trackers in the given slots from detection boxes.
+
+    gray [H, W] float32; boxes [M, 4] (left, top, right, bottom);
+    slots [M] int32 target slot per box; mask [M] bool (padding rows off).
+    Mirrors ``dlib.correlation_tracker().start_track`` (`tracking.py:250-251`).
+    """
+    pos, size, num, den = _filter_init_from_boxes(gray, boxes)
     num_re = num.real
     num_im = num.imag
-    den = (F * jnp.conj(F)).real
 
     def scatter(field, updates):
         safe = jnp.where(mask, slots, 0)
@@ -201,22 +213,7 @@ def restart_slots(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     duplicate-index scatter hazard, so it is safe inside vmapped/scanned
     code where masked-off rows must leave their slots bit-identical.
     """
-    hann = _hann2d()
-    G = _gaussian_target_fft()
-
-    pos = jnp.stack(
-        [(boxes[:, 1] + boxes[:, 3]) / 2.0, (boxes[:, 0] + boxes[:, 2]) / 2.0],
-        axis=1,
-    )
-    size = jnp.stack(
-        [boxes[:, 3] - boxes[:, 1], boxes[:, 2] - boxes[:, 0]], axis=1
-    )
-    size = jnp.maximum(size, 4.0)
-
-    F = _slot_ffts(gray[None], jnp.zeros((pos.shape[0],), dtype=jnp.int32),
-                   pos, size, hann)
-    num = G[None] * jnp.conj(F)
-    den = (F * jnp.conj(F)).real
+    pos, size, num, den = _filter_init_from_boxes(gray, boxes)
 
     m1 = mask[:, None]
     m3 = mask[:, None, None]

@@ -56,13 +56,17 @@ def part_path(output: str, rank: int) -> str:
 
 
 def merge_tracking_parts(output: str, world: int,
-                         wait_s: float = 0.0) -> int:
+                         wait_s: float = 0.0,
+                         include_existing: bool = False) -> int:
     """Merge ``<output>.part{0..world-1}`` into ``<output>``.
 
     Tracks are renumbered deterministically by (first timestamp, source
     rank, local id) so the merged file is identical regardless of worker
     count or completion order.  With ``wait_s`` > 0, waits for missing
-    part files (workers still running).  Returns the number of tracks.
+    part files (workers still running).  ``include_existing`` folds tracks
+    already present in ``output`` into the merge pool (rank −1) — the
+    ``--resume`` case, where pre-restart tracks would otherwise be lost
+    when this function rewrites the file.  Returns the number of tracks.
     """
     from ..core import formats
 
@@ -76,6 +80,9 @@ def merge_tracking_parts(output: str, world: int,
         raise FileNotFoundError(f"missing worker outputs: {missing}")
 
     tracks: Dict[Tuple[float, int, int], List] = {}
+    if include_existing and os.path.exists(output):
+        for point in formats.read_tracking(output):
+            tracks.setdefault((-1, point.identifier), []).append(point)
     for r, p in enumerate(paths):
         for point in formats.read_tracking(p):
             key = (r, point.identifier)

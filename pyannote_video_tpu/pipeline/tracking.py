@@ -202,7 +202,10 @@ class TrackingByDetection:
         for b in buckets:
             if b >= n:
                 return b
-        return buckets[-1]
+        # beyond the precompiled buckets (e.g. a user-raised
+        # max_shot_frames): next power of two, costing one extra compile
+        # instead of a shape mismatch
+        return 1 << (n - 1).bit_length()
 
     def _track_passes(self, grays: jnp.ndarray, ts: np.ndarray,
                       detections: Dict[int, List[Box]]
@@ -233,6 +236,9 @@ class TrackingByDetection:
 
         # detection tensors [T, D, 4] / [T, D]
         max_det = max((len(v) for v in detections.values()), default=0)
+        # _bucket extends past its list (next power of two), so a custom
+        # detect_func returning arbitrarily many boxes per frame cannot
+        # overflow the slot axis — it just costs one extra compile
         D = self._bucket(max(max_det, 1), (8, 16, 32, 64))
         det_boxes = np.zeros((T, D, 4), dtype=np.float32)
         det_valid = np.zeros((T, D), dtype=bool)

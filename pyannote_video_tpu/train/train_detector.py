@@ -82,20 +82,26 @@ def train(steps: int = 600, batch: int = 16, size: int = 128,
     stop = threading.Event()
 
     def worker():
-        while not stop.is_set():
-            frames, boxes = data.detection_batch(rng, batch=batch,
-                                                 height=size, width=size)
-            item = (frames, data.detection_targets(boxes, size, size))
+        try:
             while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.5)
-                    break
-                except queue_mod.Full:
-                    pass
+                frames, boxes = data.detection_batch(rng, batch=batch,
+                                                     height=size, width=size)
+                item = (frames, data.detection_targets(boxes, size, size))
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue_mod.Full:
+                        pass
+        except BaseException as exc:  # propagate instead of hanging q.get()
+            q.put(exc)
 
     threading.Thread(target=worker, daemon=True).start()
     for step in range(steps):
-        frames, (labels, deltas, mask) = q.get()
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        frames, (labels, deltas, mask) = item
         params, opt_state, loss = step_fn(
             params, opt_state,
             jnp.asarray(frames, dtype=jnp.float32), jnp.asarray(labels),

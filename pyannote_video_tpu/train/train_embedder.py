@@ -81,21 +81,27 @@ def _batch_stream(rng, identities, n_ident, per_ident, depth: int = 4):
     stop = threading.Event()
 
     def worker():
-        while not stop.is_set():
-            batch = data.embedding_batch(rng, identities, n_ident=n_ident,
-                                         per_ident=per_ident)
+        try:
             while not stop.is_set():
-                try:
-                    q.put(batch, timeout=0.5)
-                    break
-                except queue_mod.Full:
-                    pass
+                batch = data.embedding_batch(rng, identities, n_ident=n_ident,
+                                             per_ident=per_ident)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue_mod.Full:
+                        pass
+        except BaseException as exc:  # propagate instead of hanging q.get()
+            q.put(exc)
 
     th = threading.Thread(target=worker, daemon=True)
     th.start()
     try:
         while True:
-            yield q.get()
+            item = q.get()
+            if isinstance(item, BaseException):
+                raise item
+            yield item
     finally:
         stop.set()
 

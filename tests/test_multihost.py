@@ -105,3 +105,32 @@ class TestWorkerShardedTracking:
         assert point_set(sharded) == point_set(single)
         assert n == len({p.identifier
                          for p in formats.read_tracking(sharded)})
+
+    def test_merge_include_existing_keeps_resume_tracks(self, tmp_path):
+        """--resume + --world>1: pre-restart tracks in the output survive
+        the part merge (regression: the merge rewrote the file from parts
+        only)."""
+        from pyannote_video_tpu.core import formats
+        from pyannote_video_tpu.parallel.multihost import (
+            merge_tracking_parts, part_path,
+        )
+
+        out = str(tmp_path / "t.txt")
+        line = "{t:.3f} {identifier:d} {left:.3f} {top:.3f} {right:.3f} {bottom:.3f} {status}\n"
+        with open(out, "w") as fp:  # one kept pre-restart track at t=0.1
+            fp.write(line.format(t=0.1, identifier=0, left=0.1, top=0.1,
+                                 right=0.2, bottom=0.2, status="detection"))
+        for r, t in ((0, 1.0), (1, 2.0)):
+            with open(part_path(out, r), "w") as fp:
+                fp.write(line.format(t=t, identifier=0, left=0.3, top=0.3,
+                                     right=0.4, bottom=0.4,
+                                     status="detection"))
+
+        n = merge_tracking_parts(out, 2, include_existing=True)
+        assert n == 3
+        pts = formats.read_tracking(out)
+        times = sorted(round(p.t, 3) for p in pts)
+        assert times == [0.1, 1.0, 2.0]
+        # deterministic renumbering by first timestamp
+        by_id = {p.identifier: p.t for p in pts}
+        assert by_id[0] == 0.1 and by_id[1] == 1.0 and by_id[2] == 2.0
