@@ -18,7 +18,7 @@ exercised).  No media files exist in this environment, so this harness
 stands in for the pyannote-data sample episode protocol (BASELINE.md
 "Measurement protocol").
 
-Usage:  python evals/eval_synthetic.py [seed]
+Usage:  python evals/eval_synthetic.py [seed] [--faces=N]
 """
 
 from __future__ import annotations

@@ -266,3 +266,29 @@ def Segment_approx(start, end):
             )
 
     return _Approx(start, end)
+
+
+class TestShotNormalization:
+    def test_noise_floor_zero_is_reference_formula(self):
+        """noise_floor=0 reproduces the reference's bare (y-med)/med rule
+        (`structure/shot.py:127`); the default adds the floor to the
+        denominator only."""
+        from pyannote_video_tpu import Video
+        from pyannote_video_tpu.pipeline.shot import Shot
+        from pyannote_video_tpu.ops.medfilt import medfilt1d
+
+        ep = synthetic_episode(n_shots=2, shot_frames=12, width=96,
+                               height=72, seed=3)
+        video = Video(ep.frames, fps=ep.fps)
+        shot0 = Shot(video, noise_floor=0.0)
+        ts, y = shot0.dfd_values()
+        filt = np.asarray(medfilt1d(jnp.asarray(y), shot0._kernel_size,
+                                    mode=shot0.pad_mode))
+        expect0 = (y - filt) / np.where(filt == 0.0, 1e-12, filt)
+        _, norm0 = shot0.boundaries()
+        np.testing.assert_allclose(norm0, expect0, rtol=1e-6)
+
+        shot1 = Shot(Video(ep.frames, fps=ep.fps), noise_floor=1.0)
+        _, norm1 = shot1.boundaries()
+        np.testing.assert_allclose(norm1, (y - filt) / (filt + 1.0),
+                                   rtol=1e-6)
