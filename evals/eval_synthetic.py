@@ -163,15 +163,17 @@ def evaluate(seed: int = 101, n_shots: int = 12, shot_frames: int = 20,
     # --- clustering --------------------------------------------------------
     import tempfile, os
 
-    path = tempfile.mktemp()
-    with open(path, "w") as fp:
-        for tid, entries in emb_by_track.items():
-            for t, e in entries:
-                formats.write_embedding_line(fp, t, tid, e)
-    clustering = FaceClustering(threshold=0.6)
-    sp, feats = clustering.model.preprocess(path)
-    result = clustering(sp, features=feats)
-    os.remove(path)
+    fd, path = tempfile.mkstemp(suffix=".embedding.txt")
+    try:
+        with os.fdopen(fd, "w") as fp:
+            for tid, entries in emb_by_track.items():
+                for t, e in entries:
+                    formats.write_embedding_line(fp, t, tid, e)
+        clustering = FaceClustering(threshold=0.6)
+        sp, feats = clustering.model.preprocess(path)
+        result = clustering(sp, features=feats)
+    finally:
+        os.remove(path)
     assignment = {int(trk): lab
                   for _, trk, lab in result.itertracks(yield_label=True)}
 

@@ -13,7 +13,22 @@ that host-only pieces (core structures, file formats, CLIs' --help) do not
 pay JAX startup cost.
 """
 
-__version__ = "0.1.0"
+try:  # single source of truth: pyproject.toml [project] version
+    from importlib.metadata import version as _pkg_version
+
+    __version__ = _pkg_version("pyannote-video-tpu")
+except Exception:  # not installed (running from a source checkout)
+    import pathlib as _pathlib
+    import re as _re
+
+    try:
+        _pyproject = (_pathlib.Path(__file__).resolve().parent.parent
+                      / "pyproject.toml").read_text()
+        __version__ = _re.search(
+            r'^version\s*=\s*"([^"]+)"', _pyproject, _re.M
+        ).group(1)
+    except Exception:
+        __version__ = "0.0.0+unknown"
 
 from .core import Annotation, Segment, Timeline  # host-only, cheap
 

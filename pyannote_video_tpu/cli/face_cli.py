@@ -277,10 +277,26 @@ def extract(video, landmark_model, embedding_model, tracking_path,
             fembedding.flush()
 
 
+# The reference's fixed track-color table (behavioral constant, same
+# category as its ffmpeg flags: `pyannote-face.py:320-328` — itself the
+# public Green-Armytage 26-color alphabet), so demo frames are
+# pixel-comparable with reference output.
+REFERENCE_COLORS: List[tuple] = [
+    (240, 163, 255), (0, 117, 220), (153, 63, 0), (76, 0, 92),
+    (25, 25, 25), (0, 92, 49), (43, 206, 72), (255, 204, 153),
+    (128, 128, 128), (148, 255, 181), (143, 124, 0), (157, 204, 0),
+    (194, 0, 136), (0, 51, 128), (255, 164, 5), (255, 168, 187),
+    (66, 102, 0), (255, 0, 16), (94, 241, 242), (0, 153, 143),
+    (224, 255, 102), (116, 10, 255), (153, 0, 0), (255, 255, 128),
+    (255, 255, 0), (255, 80, 5),
+]
+
+
 def _palette(n: int = 26) -> List[tuple]:
-    """n visually-distinct RGB colors (HSV wheel, alternating value)."""
-    colors = []
-    for i in range(n):
+    """Track colors: the reference's fixed 26-color table, extended with
+    golden-ratio HSV colors when more are requested."""
+    colors = list(REFERENCE_COLORS[:n])
+    for i in range(len(colors), n):
         h = (i * 0.618033988749895) % 1.0
         v = 0.85 if i % 2 == 0 else 0.6
         r, g, b = colorsys.hsv_to_rgb(h, 0.85, v)
@@ -327,11 +343,17 @@ def demo(filename, tracking_path, output, t_start=0.0, t_end=None, shift=0.0,
         raise IOError(f"could not open video writer for {output}")
 
     face_idx = 0
-    current_faces: List = []
     for t in np.arange(t_start, t_end, 1.0 / video.frame_rate):
         frame = np.ascontiguousarray(video(t))
         t_query = t - shift
-        while face_idx < len(by_time) and by_time[face_idx][0] <= t_query:
+        # reference timing semantics (`pyannote-face.py:159-172`): each
+        # frame query consumes AT MOST ONE timestamp group, and a group is
+        # drawn only on the first frame at/after its timestamp — faces are
+        # not held over later frames.  (Deviation: the reference's
+        # generator drops the final group entirely when its for-loop ends,
+        # `pyannote-face.py:174-175`; we display it.)
+        current_faces: List = []
+        if face_idx < len(by_time) and by_time[face_idx][0] <= t_query:
             current_faces = by_time[face_idx][1]
             face_idx += 1
 
@@ -354,8 +376,11 @@ def demo(filename, tracking_path, output, t_start=0.0, t_end=None, shift=0.0,
             for identifier, pts in lm_by_time.get(p.t, []):
                 if identifier != p.identifier:
                     continue
-                n1 = (int(pts[27, 0] * width), int(pts[27, 1] * height))
-                n2 = (int(pts[33, 0] * width), int(pts[33, 1] * height))
+                # reference rounds landmark pixels (`pyannote-face.py:206`)
+                n1 = (int(round(pts[27, 0] * width)),
+                      int(round(pts[27, 1] * height)))
+                n2 = (int(round(pts[33, 0] * width)),
+                      int(round(pts[33, 1] * height)))
                 cv2.line(frame, n1, n2, color, 1)
 
         writer.write(frame[:, :, ::-1])  # RGB -> BGR

@@ -27,6 +27,9 @@ Options:
   --height=<n_pixels>    Resize video frame to height <n_pixels> [default: 50].
   --window=<n_seconds>   Apply median filtering on <n_seconds> window [default: 2.0].
   --threshold=<value>    Set threshold to <value> [default: 1.0].
+  --noise-floor=<value>  Additive denominator floor for shot DFD peak
+                         normalisation; 0 restores the reference's bare
+                         (y - median)/median rule [default: 1.0].
   --min-match=<n_match>  Set minimum number of matches to <n_match> [default: 20].
   --lookahead=<n_shots>  Look at up to <n_shots> following shots [default: 24].
   -h --help              Show this screen.
@@ -35,11 +38,13 @@ Options:
 """
 
 
-def do_shot(video, output, height=50, window=2.0, threshold=1.0):
+def do_shot(video, output, height=50, window=2.0, threshold=1.0,
+            noise_floor=1.0):
     from ..core import Timeline, dump
     from ..pipeline.shot import Shot
 
-    shots = Shot(video, height=height, context=window, threshold=threshold)
+    shots = Shot(video, height=height, context=window, threshold=threshold,
+                 noise_floor=noise_floor)
     shots = Timeline(shots)
     with open(output, "w") as fp:
         dump(shots, fp)
@@ -90,6 +95,7 @@ def main(argv=None):
             "--height": "50",
             "--window": "2.0",
             "--threshold": "1.0",
+            "--noise-floor": "1.0",
             "--min-match": "20",
             "--lookahead": "24",
             "--verbose": None,
@@ -107,7 +113,8 @@ def main(argv=None):
         do_shot(video, output,
                 height=int(arguments["--height"]),
                 window=float(arguments["--window"]),
-                threshold=float(arguments["--threshold"]))
+                threshold=float(arguments["--threshold"]),
+                noise_floor=float(arguments["--noise-floor"]))
 
     if arguments["thread"]:
         do_thread(video, arguments["<shot.json>"], output,

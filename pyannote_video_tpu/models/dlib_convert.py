@@ -441,6 +441,11 @@ def convert_face_recognition(path: str) -> Dict:
             "bn2": bn_of(a2),
         }
     params["blocks"] = blocks
+    # dlib's net emits UNnormalised embeddings; the reference's 0.6
+    # Euclidean clustering threshold is calibrated on those.  The flag
+    # makes `embedder.forward` skip its L2-normalisation head (which is
+    # only for the synthetic-trained checkpoints).
+    params["normalized_head"] = np.zeros((), dtype=np.float32)
     return params
 
 

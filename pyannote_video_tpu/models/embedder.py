@@ -118,17 +118,28 @@ def forward(params: Params, chips: jnp.ndarray, train: bool = False,
 
     pooled = global_avg_pool(h)
     emb = jnp.dot(pooled, params["fc"], preferred_element_type=jnp.float32)
-    # L2-normalise the embedding.  dlib's embeddings live at ~unit norm
-    # (implicitly bounded by its loss_metric training); an unnormalised
-    # head trained on a finite synthetic identity bank instead drifts to a
-    # large-radius shell (‖e‖≈240 was observed) where UNSEEN identities
-    # embed unstably — frame-to-frame distances of 10-40 against a 0.6
-    # clustering threshold.  Fixing the scale makes the hinge margins
-    # angular, which generalises: distances are bounded by 2 and vary
-    # smoothly for out-of-bank faces.  (`face/clustering.py:138` threshold
-    # semantics are preserved — same 0.6 operating point.)
-    emb = emb * jax.lax.rsqrt(jnp.sum(emb * emb, axis=-1, keepdims=True)
-                              + 1e-12)
+    # L2-normalise the embedding — but ONLY for heads trained with the
+    # normalisation (the packaged synthetic checkpoints).  dlib's net emits
+    # UNnormalised 128-d embeddings and the 0.6 Euclidean clustering
+    # threshold (`face/clustering.py:138`) is calibrated on those, so
+    # weights converted from a real .dat (models/dlib_convert.py) carry
+    # ``normalized_head=0`` and skip the rescale.  Why normalise at all for
+    # synthetic training: an unnormalised head trained on a finite
+    # synthetic identity bank drifts to a large-radius shell (‖e‖≈240
+    # observed) where UNSEEN identities embed unstably — frame-to-frame
+    # distances of 10-40 against the 0.6 threshold.  Fixing the scale makes
+    # the hinge margins angular, which generalises: distances are bounded
+    # by 2 and vary smoothly for out-of-bank faces, at the same 0.6
+    # operating point.
+    normed = emb * jax.lax.rsqrt(jnp.sum(emb * emb, axis=-1, keepdims=True)
+                                 + 1e-12)
+    flag = params.get("normalized_head")
+    if flag is None:
+        # absent in pre-flag checkpoints, all of which were trained with
+        # the normalised head
+        emb = normed
+    else:
+        emb = jnp.where(jnp.asarray(flag).astype(bool), normed, emb)
 
     if train:
         new_params = {**params, "stem_bn": stem_bn, "blocks": new_blocks}

@@ -49,8 +49,6 @@ def _device_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
 
     iou_mat = iou(boxes, boxes)  # [K, K]
     cont_mat = overlap_min_ratio(boxes, boxes)
-    # suppression graph; the diagonal is True (IoU(self)=1), so a winner
-    # removes itself from the live set
     sup = (iou_mat > iou_thresh) | (cont_mat > 0.7)
 
     def body(i, state):
@@ -59,7 +57,12 @@ def _device_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
         sc = live_scores[idx]
         out_idx = out_idx.at[i].set(idx)
         out_scores = out_scores.at[i].set(sc)
+        # a winner's self-IoU is normally 1 so sup[idx, idx] removes it,
+        # but a degenerate candidate (inverted box with IoU 0, NaN coords)
+        # would otherwise stay live and be re-picked every iteration —
+        # force self-suppression explicitly
         live_scores = jnp.where(sup[idx], -jnp.inf, live_scores)
+        live_scores = live_scores.at[idx].set(-jnp.inf)
         return live_scores, out_idx, out_scores
 
     out_idx = jnp.zeros((max_out,), dtype=jnp.int32)

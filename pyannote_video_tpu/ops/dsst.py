@@ -401,9 +401,12 @@ def lane_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
     A *lane* is an independent tracking stream with its own frame sequence
     and detections; lanes share each scan iteration's batched DSST math
     (one patch-extraction + FFT batch over all L·N slots), amortising the
-    per-iteration fixed cost.  The forward and backward passes of a shot
-    run as 2 lanes of ONE dispatch (`pipeline/tracking.py`); associations
-    never cross lanes.
+    per-iteration fixed cost.  NOTE: the live pipeline does NOT use L>1 —
+    `pipeline/tracking.py` deliberately dispatches the forward and
+    backward passes as two single-lane scans back-to-back (measured 20%
+    faster than one 2-lane dispatch: per-lane state slice/update traffic
+    in the scan body outweighs the batching gain).  The L>1 path remains
+    for multi-shot batching experiments and is covered by tests.
 
     Parameters
     ----------

@@ -122,3 +122,50 @@ class TestFaceCli:
                     path, tracking, demo_out)
         assert r.returncode == 0, r.stderr[-2000:]
         assert os.path.getsize(demo_out) > 10000
+
+
+class TestDemoGolden:
+    """Pixel-level demo parity: reference 26-color palette + yields-once
+    face timing (`/root/reference/scripts/pyannote-face.py:320-331,159-172`)."""
+
+    def test_demo_palette_and_timing(self, clip, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from pyannote_video_tpu.cli.face_cli import REFERENCE_COLORS, demo
+
+        path, ep = clip
+        track_id = 3
+        tracking = str(tmp_path / "golden_tracking.txt")
+        with open(tracking, "w") as fp:
+            # ONE group, at the first frame's timestamp only
+            fp.write(f"0.000 {track_id} 0.200 0.200 0.600 0.700 detection\n")
+        out = str(tmp_path / "golden_demo.avi")
+        demo(path, tracking, out, height=120)
+
+        cap = cv2.VideoCapture(out)
+        ok0, f0 = cap.read()
+        ok1, f1 = cap.read()
+        cap.release()
+        assert ok0 and ok1
+        f0 = f0[:, :, ::-1].astype(np.int32)  # BGR -> RGB
+        f1 = f1[:, :, ::-1].astype(np.int32)
+
+        color = np.asarray(REFERENCE_COLORS[track_id % 26], np.int32)
+        # the expected rectangle: pt1=(int(.2*W), int(.2*H)),
+        # pt2=(int(.6*W), int(.7*H)), thickness 2 — count palette-colored
+        # pixels on its perimeter band only (the clip background may
+        # contain similar colors elsewhere)
+        H, W = f0.shape[:2]
+        x1, y1, x2, y2 = int(.2 * W), int(.2 * H), int(.6 * W), int(.7 * H)
+        band = np.zeros((H, W), bool)
+        band[y1 - 2:y2 + 3, x1 - 2:x1 + 3] = True
+        band[y1 - 2:y2 + 3, x2 - 2:x2 + 3] = True
+        band[y1 - 2:y1 + 3, x1 - 2:x2 + 3] = True
+        band[y2 - 2:y2 + 3, x1 - 2:x2 + 3] = True
+        near0 = ((np.abs(f0 - color).max(axis=2) < 40) & band).sum()
+        near1 = ((np.abs(f1 - color).max(axis=2) < 40) & band).sum()
+        # frame 0 carries the 2px rectangle perimeter (hundreds of pixels
+        # of COLORS[3], MJPG-lossy); frame 1 must NOT: the reference's
+        # generator yields each timestamp group exactly once, it is not
+        # held over later frames
+        assert near0 > 100, near0
+        assert near1 < near0 / 10, (near0, near1)

@@ -306,6 +306,26 @@ class TestDlibConvert:
         # through the exact wire format should be far tighter
         assert np.all(1.0 - cos <= 1e-5), cos
 
+        # NORM-sensitive parity: dlib nets emit UNnormalised embeddings
+        # (the 0.6 Euclidean clustering threshold is calibrated on those),
+        # so converted params must carry normalized_head=0 and forward()
+        # must NOT rescale them.  Compare in Euclidean terms against the
+        # raw (un-normalised) head of the original weights.
+        assert float(conv_j["normalized_head"]) == 0.0
+        raw = dict(orig)
+        raw["normalized_head"] = jnp.zeros(())
+        emb_raw, _ = embedder.forward(raw, chips, train=False,
+                                      compute_dtype=jnp.float32)
+        emb_raw = np.asarray(emb_raw)
+        np.testing.assert_allclose(emb_conv, emb_raw, rtol=5e-3, atol=1e-2)
+        # and the raw head is genuinely un-normalised for these weights
+        # (guards against the flag being silently ignored)
+        assert not np.allclose(np.linalg.norm(emb_conv, axis=1), 1.0,
+                               atol=1e-3)
+        # the packaged/synthetic path (no flag) still normalises
+        np.testing.assert_allclose(np.linalg.norm(emb_orig, axis=1), 1.0,
+                                   atol=1e-5)
+
 
 class TestTrainData:
     def test_detection_batch_superscale_bounds(self):
