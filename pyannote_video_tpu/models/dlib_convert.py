@@ -510,3 +510,212 @@ def write_face_recognition(path: str, params: Dict) -> None:
         w.write_uint(fc.shape[1])
         w.write_matrix(fc)
         w.write_string("loss_metric")
+
+
+# ---------------------------------------------------------------------------
+# mmod_human_face_detector.dat (MMOD CNN detector)
+# ---------------------------------------------------------------------------
+#: Layer stack, outermost-first as declared in dlib's
+#: dnn_mmod_face_detection_ex.cpp; the serialized STREAM runs input→output
+#: (same add_layer convention as the ResNet-29 container above).
+#: `models/detector.py` implements the same conv plan (16/32/32 stride-2
+#: downsampler + 3×45 stride-1 body + 9×9 head).
+MMOD_LAYER_STACK = [
+    "loss_mmod", "con<1,9,9,1,1>",
+    "rcon5<45>", "rcon5<45>", "rcon5<45>",       # relu<affine<con5<45>>> ×3
+    "relu", "affine", "con<32,5,5,2,2>",
+    "relu", "affine", "con<32,5,5,2,2>",
+    "relu", "affine", "con<16,5,5,2,2>",         # downsampler
+    "input_rgb_image_pyramid<pyramid_down<6>>",
+]
+
+# Serialized container: tag string per node then that node's fields, with
+# the same parameter-bearing tags as the ResNet container ("con",
+# "affine") plus:
+#   "input_pyramid" : avg_red float, avg_green float, avg_blue float
+#                     (dlib input_rgb_image_pyramid's channel means)
+#   "loss_mmod"     : n_windows uint, then per window (width uint,
+#                     height uint, label string); loss_per_false_alarm
+#                     float, loss_per_missed_target float,
+#                     truth_match_iou_threshold float,
+#                     overlaps_nms (iou float, percent_covered float),
+#                     overlaps_ignore (iou float, percent_covered float).
+#                     The stream ends after "loss_mmod".
+
+#: conv index → (our param key, bn key) in `detector.init_params`'s plan
+_MMOD_CONV_KEYS = [("c1", "bn1"), ("c2", "bn2"), ("c3", "bn3"),
+                   ("c4", "bn4"), ("c5", "bn5"), ("c6", "bn6")]
+
+
+def convert_mmod_detector(path: str) -> Dict:
+    """MMOD detector .dat → `models/detector.py` params pytree.
+
+    Walks the tag stream input→output (ref load site: `face/face.py:54`).
+    Six (conv, affine) body pairs map onto ``c1..c6``/``bn1..bn6``
+    (filters transpose to HWIO, affines fold into inference batch-norm
+    exactly as in ``convert_face_recognition``).  Intentional divergences
+    from dlib, documented here because they are ARCHITECTURAL, not weight
+    mappings:
+
+    * **head**: dlib's head is a single-channel 9×9 scorer with
+      fixed-window decoding; ours regresses 4 box deltas on top
+      (`detector.py:73-74`).  The dlib filter lands in head channel 0 and
+      the delta channels are ZEROED — ``exp(0) = 1`` makes the regressed
+      window collapse to the fixed 40×40 MMOD window, i.e. a converted
+      detector reproduces dlib's exact decoding semantics.
+    * **pyramid**: dlib's ``pyramid_down<6>`` (ratio 5/6) vs our 3/4
+      (`detector.py:42-45`) is runtime configuration, not weights; the
+      loss_mmod/input metadata (windows, channel means, NMS overlaps) is
+      returned under ``"mmod_meta"`` for callers that want to reproduce
+      dlib's exact pyramid/NMS settings.
+    """
+    convs: List[Dict] = []
+    affines: List[Dict] = []
+    meta: Dict = {}
+
+    with open(path, "rb") as fp:
+        r = DlibReader(fp)
+        while True:
+            tag = r.read_string()
+            if tag == "input_pyramid":
+                meta["avg_rgb"] = np.asarray(
+                    [r.read_float() for _ in range(3)], np.float32)
+            elif tag == "con":
+                out_ch = r.read_uint()
+                in_ch = r.read_uint()
+                nr = r.read_uint()
+                nc = r.read_uint()
+                stride_y = r.read_uint()
+                stride_x = r.read_uint()
+                filt = r.read_matrix().reshape(out_ch, in_ch, nr, nc)
+                bias = r.read_matrix().reshape(out_ch)
+                convs.append({
+                    "w": np.ascontiguousarray(filt.transpose(2, 3, 1, 0)),
+                    "b": bias,
+                    "stride": (stride_y, stride_x),
+                })
+            elif tag == "affine":
+                gamma = r.read_matrix().reshape(-1)
+                beta = r.read_matrix().reshape(-1)
+                affines.append({"gamma": gamma, "beta": beta})
+            elif tag == "relu":
+                continue
+            elif tag == "loss_mmod":
+                n_windows = r.read_uint()
+                windows = []
+                for _ in range(n_windows):
+                    w_px = r.read_uint()
+                    h_px = r.read_uint()
+                    label = r.read_string()
+                    windows.append((w_px, h_px, label))
+                meta["windows"] = windows
+                meta["loss_per_false_alarm"] = r.read_float()
+                meta["loss_per_missed_target"] = r.read_float()
+                meta["truth_match_iou_threshold"] = r.read_float()
+                meta["overlaps_nms"] = (r.read_float(), r.read_float())
+                meta["overlaps_ignore"] = (r.read_float(), r.read_float())
+                break
+            else:
+                raise ValueError(f"unknown layer tag {tag!r}")
+
+    if len(convs) != 7 or len(affines) != 6:
+        raise ValueError(
+            f"expected 7 convs + 6 affines (got {len(convs)}, "
+            f"{len(affines)})"
+        )
+
+    eps = 1e-5
+
+    def bn_of(aff: Dict) -> Dict:
+        c = aff["gamma"].shape[0]
+        return {
+            "scale": aff["gamma"].astype(np.float32),
+            "bias": aff["beta"].astype(np.float32),
+            "mean": np.zeros((c,), dtype=np.float32),
+            "var": np.full((c,), 1.0 - eps, dtype=np.float32),
+        }
+
+    params: Dict = {}
+    for i, (ck, bk) in enumerate(_MMOD_CONV_KEYS):
+        params[ck] = {"w": convs[i]["w"].astype(np.float32),
+                      "b": convs[i]["b"].astype(np.float32)}
+        params[bk] = bn_of(affines[i])
+
+    head = convs[6]
+    nr, nc, in_ch, out_ch = head["w"].shape
+    if out_ch != 1:
+        raise ValueError(f"MMOD head must have 1 output channel, got {out_ch}")
+    head_w = np.zeros((nr, nc, in_ch, 5), dtype=np.float32)
+    head_w[..., 0] = head["w"][..., 0]
+    head_b = np.zeros((5,), dtype=np.float32)
+    head_b[0] = head["b"][0]
+    params["head"] = {"w": head_w, "b": head_b}
+    params["mmod_meta"] = meta
+    return params
+
+
+def write_mmod_detector(path: str, params: Dict,
+                        meta: Dict | None = None) -> None:
+    """Export detector params to the MMOD container layout (exact reverse
+    of ``convert_mmod_detector``).  The head's 4 box-delta channels have
+    no slot in dlib's single-channel format and are DROPPED — an exported
+    detector scores identically but decodes fixed 40×40 windows."""
+    meta = dict(meta or params.get("mmod_meta") or {})
+    avg_rgb = np.asarray(meta.get("avg_rgb", (122.5, 122.5, 122.5)),
+                         np.float32)
+    windows = meta.get("windows", [(40, 40, "")])
+
+    eps = 1e-5
+
+    def aff_of(bn: Dict):
+        scale = np.asarray(bn["scale"], np.float64)
+        var = np.asarray(bn["var"], np.float64)
+        mean = np.asarray(bn["mean"], np.float64)
+        bias = np.asarray(bn["bias"], np.float64)
+        gamma = scale / np.sqrt(var + eps)
+        beta = bias - mean * gamma
+        return gamma.astype(np.float32), beta.astype(np.float32)
+
+    def write_con(w_, conv_w, conv_b, stride):
+        filt = np.asarray(conv_w)                    # HWIO
+        nr, nc, in_ch, out_ch = filt.shape
+        w_.write_string("con")
+        w_.write_uint(out_ch)
+        w_.write_uint(in_ch)
+        w_.write_uint(nr)
+        w_.write_uint(nc)
+        w_.write_uint(stride[0])
+        w_.write_uint(stride[1])
+        blob = np.ascontiguousarray(filt.transpose(3, 2, 0, 1))
+        w_.write_matrix(blob.reshape(out_ch, in_ch * nr * nc))
+        w_.write_matrix(np.asarray(conv_b).reshape(1, -1))
+
+    strides = [(2, 2), (2, 2), (2, 2), (1, 1), (1, 1), (1, 1)]
+    with open(path, "wb") as fp:
+        w = DlibWriter(fp)
+        w.write_string("input_pyramid")
+        for v in avg_rgb:
+            w.write_float(float(v))
+        for i, (ck, bk) in enumerate(_MMOD_CONV_KEYS):
+            write_con(w, params[ck]["w"], params[ck]["b"], strides[i])
+            gamma, beta = aff_of(params[bk])
+            w.write_string("affine")
+            w.write_matrix(gamma.reshape(1, -1))
+            w.write_matrix(beta.reshape(1, -1))
+            w.write_string("relu")
+        head_w = np.asarray(params["head"]["w"])[..., :1]
+        head_b = np.asarray(params["head"]["b"])[:1]
+        write_con(w, head_w, head_b, (1, 1))
+        w.write_string("loss_mmod")
+        w.write_uint(len(windows))
+        for (w_px, h_px, label) in windows:
+            w.write_uint(int(w_px))
+            w.write_uint(int(h_px))
+            w.write_string(str(label))
+        w.write_float(float(meta.get("loss_per_false_alarm", 1.0)))
+        w.write_float(float(meta.get("loss_per_missed_target", 1.0)))
+        w.write_float(float(meta.get("truth_match_iou_threshold", 0.5)))
+        for pair_key in ("overlaps_nms", "overlaps_ignore"):
+            a, b = meta.get(pair_key, (0.4, 1.0))
+            w.write_float(float(a))
+            w.write_float(float(b))

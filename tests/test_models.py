@@ -274,6 +274,61 @@ class TestDlibConvert:
                                            jnp.asarray(box)))
         np.testing.assert_allclose(lm_conv, lm_orig, atol=1e-3)
 
+    def test_mmod_detector_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from pyannote_video_tpu.models import detector
+        from pyannote_video_tpu.models.dlib_convert import (
+            convert_mmod_detector, write_mmod_detector,
+        )
+
+        orig = detector.init_params(jax.random.PRNGKey(7))
+        meta = {"avg_rgb": (122.0, 117.0, 104.0),
+                "windows": [(40, 40, "face")],
+                "loss_per_false_alarm": 1.0,
+                "loss_per_missed_target": 2.0,
+                "truth_match_iou_threshold": 0.5,
+                "overlaps_nms": (0.4, 1.0),
+                "overlaps_ignore": (0.5, 0.95)}
+        path = str(tmp_path / "toy_mmod.dat")
+        write_mmod_detector(path, orig, meta=meta)
+        conv = convert_mmod_detector(path)
+
+        # conv/affine weights survive the wire format
+        for ck in ("c1", "c2", "c3", "c4", "c5", "c6"):
+            np.testing.assert_allclose(conv[ck]["w"], np.asarray(orig[ck]["w"]),
+                                       rtol=1e-6, atol=1e-6, err_msg=ck)
+        # metadata round-trips
+        assert conv["mmod_meta"]["windows"] == [(40, 40, "face")]
+        np.testing.assert_allclose(conv["mmod_meta"]["avg_rgb"],
+                                   (122.0, 117.0, 104.0))
+        assert conv["mmod_meta"]["overlaps_ignore"][1] == pytest.approx(0.95)
+
+        # head: dlib's single score channel lands in channel 0; the 4
+        # regression channels are zeroed (=> exp(0): fixed-window MMOD
+        # decoding semantics)
+        np.testing.assert_allclose(conv["head"]["w"][..., 0],
+                                   np.asarray(orig["head"]["w"])[..., 0],
+                                   rtol=1e-6, atol=1e-6)
+        assert not conv["head"]["w"][..., 1:].any()
+        assert not conv["head"]["b"][1:].any()
+
+        # forward parity on the SCORE channel (float32 to isolate the
+        # weight mapping from bf16 rounding)
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3)),
+                          dtype=jnp.float32)
+        maps_o, _ = detector.forward_maps(orig, img, train=False,
+                                          compute_dtype=jnp.float32)
+        conv_params = {k: jax.tree_util.tree_map(jnp.asarray, v)
+                       for k, v in conv.items() if k != "mmod_meta"}
+        maps_c, _ = detector.forward_maps(conv_params, img, train=False,
+                                          compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(maps_c[..., 0]),
+                                   np.asarray(maps_o[..., 0]),
+                                   rtol=1e-4, atol=1e-4)
+        assert np.abs(np.asarray(maps_c[..., 1:])).max() == 0.0
+
     def test_resnet29_roundtrip(self, tmp_path):
         import jax
         import jax.numpy as jnp
