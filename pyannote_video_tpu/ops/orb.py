@@ -67,12 +67,26 @@ def detect_and_describe(grays: jnp.ndarray, max_kp: int = MAX_KP,
     """
     B, H, W = grays.shape
 
-    # light 5×5 box smoothing (stabilises both the FAST test and BRIEF)
-    kernel = jnp.ones((5, 5), dtype=jnp.float32) / 25.0
+    # Backend determinism (thread F1 must not flap between CPU and TPU —
+    # the decision rule is an exact match-count threshold): quantize the
+    # input to integer gray levels, keep every downstream value integer-
+    # exact in float32 (reductions of integers < 2^24 are order-
+    # independent), and break top-k ties by pixel index.  cv2's ORB is
+    # deterministic for the same reason — it operates on uint8.
+    grays = jnp.round(grays)
+
+    # light 5×5 box smoothing (stabilises both the FAST test and BRIEF):
+    # ones-kernel sum at HIGHEST precision (integer-exact — sums of 25
+    # values ≤ 255 — so CPU and TPU agree bit-for-bit), then ONE
+    # deterministic elementwise division.  The k/25 value grid keeps
+    # BRIEF discriminative (rounding to whole gray levels degenerated
+    # descriptors in smooth regions into false cross-shot matches).
+    kernel = jnp.ones((5, 5), dtype=jnp.float32)
     smooth = lax.conv_general_dilated(
         grays[:, None], kernel[None, None], (1, 1), "SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[:, 0]
+        precision=lax.Precision.HIGHEST,
+    )[:, 0] / 25.0
 
     # --- FAST-9 corner test, fully vectorised over the ring --------------
     ring = jnp.stack(
@@ -112,11 +126,20 @@ def detect_and_describe(grays: jnp.ndarray, max_kp: int = MAX_KP,
     response = response * inside[None]
 
     # --- top-K keypoint slots --------------------------------------------
+    # FAST strengths are integer-valued (diffs/min/max of integer grays),
+    # so rank on an int32 composite key with the pixel index as tie-break:
+    # XLA's top_k ordering of EQUAL keys is implementation-defined and was
+    # a source of CPU-vs-TPU keypoint-set divergence.
     flat = response.reshape(B, H * W)
-    top_resp, top_idx = lax.top_k(flat, max_kp)
+    hw = H * W
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, hw), 1)
+    key = flat.astype(jnp.int32) * hw + (hw - 1 - idx)
+    top_key, _ = lax.top_k(key, max_kp)
+    top_resp = top_key // hw
+    top_idx = (hw - 1) - (top_key % hw)
     kp_y = (top_idx // W).astype(jnp.float32)
     kp_x = (top_idx % W).astype(jnp.float32)
-    valid = top_resp > 0.0
+    valid = top_resp > 0
 
     # --- orientation: intensity centroid in a radius-15 disc --------------
     r = PATCH // 2
@@ -129,7 +152,10 @@ def detect_and_describe(grays: jnp.ndarray, max_kp: int = MAX_KP,
         xs = x0 + jnp.zeros_like(oy)[:, None] + ox[None, :]
         from .warp import bilinear_sample
 
-        patch = bilinear_sample(img, ys, xs) * disc
+        # quantize the patch so the moment sums are integer-exact
+        # (order-independent, |sum| < 2^24) → the angle is identical
+        # across backends
+        patch = jnp.round(bilinear_sample(img, ys, xs)) * disc
         m10 = jnp.sum(patch * ox[None, :])
         m01 = jnp.sum(patch * oy[:, None])
         return jnp.arctan2(m01, m10)
@@ -137,17 +163,26 @@ def detect_and_describe(grays: jnp.ndarray, max_kp: int = MAX_KP,
     def frame_angles(img, ys, xs):
         return jax.vmap(lambda y, x: moments(img, y, x))(ys, xs)
 
+    # moments are integer-exact (integer patch × integer offsets, |sum| <
+    # 2^24); quantize the angle to 1024 bins so a ULP-level arctan2
+    # difference between backends cannot rotate the BRIEF pattern
     angles = jax.vmap(frame_angles)(smooth, kp_y, kp_x)  # [B, K]
+    bin_w = jnp.float32(2.0 * np.pi / 1024.0)
+    angles = jnp.round(angles / bin_w) * bin_w
 
     # --- steered BRIEF ----------------------------------------------------
     pattern = jnp.asarray(_PATTERN)  # [256, 4]
 
     def describe(img, y0, x0, angle):
+        # cv2 semantics: sample the NEAREST integer pixel of the smoothed
+        # (integer-valued) image — the bit test compares exact integers,
+        # so descriptors cannot flip on sub-ULP backend differences the
+        # way bilinear samples near v1 == v2 did
         c, s = jnp.cos(angle), jnp.sin(angle)
-        x1 = c * pattern[:, 0] - s * pattern[:, 1] + x0
-        y1 = s * pattern[:, 0] + c * pattern[:, 1] + y0
-        x2 = c * pattern[:, 2] - s * pattern[:, 3] + x0
-        y2 = s * pattern[:, 2] + c * pattern[:, 3] + y0
+        x1 = jnp.round(c * pattern[:, 0] - s * pattern[:, 1] + x0)
+        y1 = jnp.round(s * pattern[:, 0] + c * pattern[:, 1] + y0)
+        x2 = jnp.round(c * pattern[:, 2] - s * pattern[:, 3] + x0)
+        y2 = jnp.round(s * pattern[:, 2] + c * pattern[:, 3] + y0)
         from .warp import bilinear_sample
 
         v1 = bilinear_sample(img, y1, x1)
