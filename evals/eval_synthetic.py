@@ -18,7 +18,11 @@ exercised).  No media files exist in this environment, so this harness
 stands in for the pyannote-data sample episode protocol (BASELINE.md
 "Measurement protocol").
 
-Usage:  python evals/eval_synthetic.py [seed] [--faces=N]
+Usage:  python evals/eval_synthetic.py [seed] [--faces=N] [--domain=A|B|C|BC]
+
+Domains B/C/BC are the held-out shifted render distributions
+(`utils/synthetic_shift.py`) — trainers only ever sample domain A, so
+the shifted numbers measure generalisation, not memorisation.
 """
 
 from __future__ import annotations
@@ -70,14 +74,21 @@ def _segment_label_map(annotation, shots):
 
 def evaluate(seed: int = 101, n_shots: int = 12, shot_frames: int = 20,
              width: int = 640, height: int = 480,
-             n_identities: int = 6, faces_per_shot: int = 1) -> dict:
+             n_identities: int = 6, faces_per_shot: int = 1,
+             domain: str = "A") -> dict:
+    """Full-pipeline eval; `domain` selects the render distribution
+    ('A' = training distribution; 'B'/'C'/'BC' = held-out shifted domains
+    from `utils/synthetic_shift.py` that no trainer ever samples)."""
     import jax.numpy as jnp
+
+    from pyannote_video_tpu.utils.synthetic_shift import domain_hooks
 
     ep = synthetic_episode(
         n_shots=n_shots, shot_frames=shot_frames, width=width, height=height,
         seed=seed, face_height_ratio=0.35 if faces_per_shot > 1 else 0.4,
         n_identities=n_identities, faces_per_shot=faces_per_shot,
         thread_pattern=THREAD_PATTERN[:n_shots],
+        **domain_hooks(domain),
     )
     video = Video(ep.frames, fps=ep.fps)
     t_start = time.time()
@@ -196,6 +207,7 @@ def evaluate(seed: int = 101, n_shots: int = 12, shot_frames: int = 20,
     wall = time.time() - t_start
     return {
         "seed": seed,
+        "domain": domain,
         "config": f"{n_shots} shots x {shot_frames} frames @ "
                   f"{width}x{height}, {n_identities} identities, "
                   f"{faces_per_shot} face(s)/shot",
@@ -218,8 +230,12 @@ def evaluate(seed: int = 101, n_shots: int = 12, shot_frames: int = 20,
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     faces = 1
+    domain = "A"
     for a in sys.argv[1:]:
         if a.startswith("--faces="):
             faces = int(a.split("=", 1)[1])
+        if a.startswith("--domain="):
+            domain = a.split("=", 1)[1]
     seed = int(args[0]) if args else 101
-    print(json.dumps(evaluate(seed=seed, faces_per_shot=faces)))
+    print(json.dumps(evaluate(seed=seed, faces_per_shot=faces,
+                              domain=domain)))

@@ -260,6 +260,10 @@ def synthetic_episode(
     face_height_ratio: float = 0.45,
     seed: int = 0,
     thread_pattern: Optional[List[int]] = None,
+    render_fn=None,
+    frame_post=None,
+    decoy_fn=None,
+    identity_sampler=None,
 ) -> SyntheticEpisode:
     """Generate an episode with known cuts, faces and (optional) threading.
 
@@ -269,8 +273,34 @@ def synthetic_episode(
         Background-id per shot, e.g. ``[0, 1, 0, 1]`` creates an A/B
         alternating-camera pattern so shot threading has ground truth.
         Defaults to a distinct background per shot.
+    render_fn : callable, optional
+        ``(canvas, cx, cy, face_h, params, rng, shot_idx, frame_idx) ->
+        (landmarks [68, 2], box (l, t, r, b))`` — face rasterizer hook.
+        Defaults to the upright `render_face`.  The shifted eval domains
+        (`utils/synthetic_shift.py`, VERDICT r2 missing #1) plug in
+        rolled / posed / occluded variants here; the TRAINERS never call
+        through this hook with a non-default value.
+    frame_post : callable, optional
+        ``(frame float32 [H, W, 3], rng, shot_idx, frame_idx) -> frame``
+        applied before quantization (lighting gradients, motion blur).
+    decoy_fn : callable, optional
+        ``(canvas, rng, shot_idx, frame_idx, face_boxes) -> None`` — draws
+        face-LIKE distractors that are NOT ground truth (detector precision
+        test); ``face_boxes`` are this frame's GT boxes so decoys can stay
+        clear of real faces.
+    identity_sampler : callable, optional
+        ``(rng) -> FaceParams`` — identity distribution override (novel
+        geometry/texture families for held-out eval domains).
     """
     rng = np.random.default_rng(seed)
+    if render_fn is None:
+        def render_fn(canvas, cx, cy, face_h, params, _rng, _si, _fi):
+            lm = render_face(canvas, cx, cy, face_h, params)
+            half_w = face_h / 2.0 / params.aspect
+            return lm, (cx - half_w, cy - face_h / 2.0,
+                        cx + half_w, cy + face_h / 2.0)
+    if identity_sampler is None:
+        identity_sampler = FaceParams.random
     if thread_pattern is None:
         thread_pattern = list(range(n_shots))
     assert len(thread_pattern) == n_shots
@@ -280,7 +310,7 @@ def synthetic_episode(
     for bg_id in set(thread_pattern):
         backgrounds[bg_id] = _background(width + 2 * pad, height + 2 * pad, rng)
 
-    identities = {i: FaceParams.random(rng) for i in range(n_identities)}
+    identities = {i: identity_sampler(rng) for i in range(n_identities)}
 
     total = n_shots * shot_frames
     frames = np.empty((total, height, width, 3), dtype=np.uint8)
@@ -314,21 +344,24 @@ def synthetic_episode(
             oy = np.clip(oy, 0, 2 * pad - 1)
             canvas = bg[oy : oy + height, ox : ox + width].copy()
 
+            frame_boxes = []
             for ident, cx0, cy0, vx, vy in face_tracks:
                 cx = cx0 + vx * f
                 cy = cy0 + vy * f + 2.0 * np.sin(2 * np.pi * f / shot_frames)
                 params = identities[ident]
-                lm = render_face(canvas, cx, cy, face_h, params)
-                half_w = face_h / 2.0 / params.aspect
+                lm, box = render_fn(canvas, cx, cy, face_h, params,
+                                    rng, shot_idx, f)
                 faces.append(
                     FaceObservation(
-                        frame=t_frame,
-                        face_id=ident,
-                        box=(cx - half_w, cy - face_h / 2.0,
-                             cx + half_w, cy + face_h / 2.0),
-                        landmarks=lm,
+                        frame=t_frame, face_id=ident, box=box, landmarks=lm,
                     )
                 )
+                frame_boxes.append(box)
+
+            if decoy_fn is not None:
+                decoy_fn(canvas, rng, shot_idx, f, frame_boxes)
+            if frame_post is not None:
+                canvas = frame_post(canvas, rng, shot_idx, f)
 
             # mild sensor noise so frames are never bit-identical
             noise = rng.normal(0, 2.0, size=canvas.shape)
