@@ -91,3 +91,72 @@ def ingest_gray_resize_first(
     """Fused resize-then-gray (the thread stage order,
     `structure/thread.py:142-143`)."""
     return to_gray(resize_bilinear(frames_u8.astype(jnp.float32), out_h, out_w))
+
+
+# ---------------------------------------------------------------------------
+# YUV 4:2:0 ingest — the streaming pipeline's wire format
+# ---------------------------------------------------------------------------
+# Video codecs emit YUV 4:2:0 natively; shipping it to the device instead
+# of RGB halves host→device bandwidth (1.5 B/px vs 3 B/px), and the Y
+# plane is (up to the fixed studio-swing affine) the BT.601 gray the
+# tracking/DFD/ORB stages consume — so gray conversion disappears from
+# the ingest path.  The wire convention is LIMITED-range BT.601 (Y in
+# [16, 235]) — what cv2's COLOR_RGB2YUV_I420 / COLOR_YUV2RGB_I420 and
+# typical codec output (ffmpeg yuv420p) use; golden-tested against cv2
+# in tests/test_ops.py.
+
+
+@jax.jit
+def yuv_luma_to_gray(y: jnp.ndarray) -> jnp.ndarray:
+    """Limited-range luma plane → full-range float32 gray (= `to_gray`).
+
+    gray = (Y − 16) · 255/219, clipped — so DFD/ORB/DSST thresholds
+    calibrated on 0-255 gray hold unchanged on the streaming path.
+    """
+    return jnp.clip((y.astype(jnp.float32) - 16.0) * (255.0 / 219.0),
+                    0.0, 255.0)
+
+
+@jax.jit
+def yuv420_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """Device-side YUV 4:2:0 (limited range) → float32 RGB in [0, 255].
+
+    y [B, H, W] uint8, u/v [B, H/2, W/2] uint8 → rgb [B, H, W, 3].
+    Chroma is upsampled by nearest-neighbour 2× (cv2's I420 co-siting),
+    then the fixed BT.601 inverse is applied elementwise — XLA fuses the
+    whole thing into whatever consumes the RGB, so no full-resolution
+    intermediate hits HBM unless the consumer materialises it.
+    """
+    yf = (y.astype(jnp.float32) - 16.0) * 1.164
+    # nearest 2x chroma upsample: repeat along both spatial axes
+    uf = jnp.repeat(jnp.repeat(u.astype(jnp.float32), 2, axis=1), 2, axis=2)
+    vf = jnp.repeat(jnp.repeat(v.astype(jnp.float32), 2, axis=1), 2, axis=2)
+    uf = uf[:, : yf.shape[1], : yf.shape[2]] - 128.0
+    vf = vf[:, : yf.shape[1], : yf.shape[2]] - 128.0
+    r = yf + 1.596 * vf
+    g = yf - 0.392 * uf - 0.813 * vf
+    b = yf + 2.017 * uf
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def rgb_to_yuv420(frames_u8: np.ndarray) -> tuple:
+    """Host-side RGB uint8 batch → (Y, U, V) I420 planes (NumPy).
+
+    Stand-in for a real decoder's native YUV output: production ingest
+    takes planes straight from the codec (ffmpeg yuv420p / V4L2 NV12) and
+    never touches RGB on the host.  Limited-range BT.601, matching
+    cv2.COLOR_RGB2YUV_I420.  Vectorised over the batch; used by the
+    synthetic-source streaming bench and tests.
+    """
+    x = frames_u8.astype(np.float32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 16.0 + 0.257 * r + 0.504 * g + 0.098 * b
+    u = 128.0 - 0.148 * r - 0.291 * g + 0.439 * b
+    v = 128.0 + 0.439 * r - 0.368 * g - 0.071 * b
+    # 4:2:0 subsample: 2x2 box average of the chroma planes
+    B, H, W = y.shape
+    u = u.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    v = v.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    rnd = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)
+    return rnd(y), rnd(u), rnd(v)

@@ -44,6 +44,61 @@ class TestColor:
         assert out.shape == (4, 24, 32)
         assert out.dtype == jnp.float32
 
+    def test_yuv420_forward_matches_cv2(self):
+        """Host packer vs cv2.COLOR_RGB2YUV_I420 (limited-range BT.601).
+        Luma must match to rounding; chroma siting differs (ours is a 2x2
+        box average, cv2 decimates) so chroma gets a small tolerance."""
+        cv2 = pytest.importorskip("cv2")
+        from pyannote_video_tpu.ops.color import rgb_to_yuv420
+
+        rng = np.random.default_rng(2)
+        raw = rng.integers(0, 256, size=(2, 32, 48, 3), dtype=np.uint8)
+        rgb = np.stack([cv2.GaussianBlur(f, (7, 7), 3) for f in raw])
+        y, u, v = rgb_to_yuv420(rgb)
+        assert y.shape == (2, 32, 48) and u.shape == (2, 16, 24)
+        H, W = 32, 48
+        for b in range(2):
+            i420 = cv2.cvtColor(rgb[b], cv2.COLOR_RGB2YUV_I420)
+            ycv = i420[:H]
+            ucv = i420[H:H + H // 4].reshape(H // 2, W // 2)
+            vcv = i420[H + H // 4:].reshape(H // 2, W // 2)
+            assert np.abs(ycv.astype(int) - y[b].astype(int)).max() <= 1
+            assert np.abs(ucv.astype(float) - u[b]).mean() <= 2.0
+            assert np.abs(vcv.astype(float) - v[b]).mean() <= 2.0
+
+    def test_yuv420_inverse_matches_cv2(self):
+        cv2 = pytest.importorskip("cv2")
+        from pyannote_video_tpu.ops.color import rgb_to_yuv420, yuv420_to_rgb
+
+        rng = np.random.default_rng(3)
+        raw = rng.integers(0, 256, size=(1, 32, 48, 3), dtype=np.uint8)
+        rgb = np.stack([cv2.GaussianBlur(f, (7, 7), 3) for f in raw])
+        y, u, v = rgb_to_yuv420(rgb)
+        ours = np.asarray(yuv420_to_rgb(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))[0]
+        H, W = 32, 48
+        i420 = np.concatenate([y[0], u[0].reshape(H // 4, W),
+                               v[0].reshape(H // 4, W)], axis=0)
+        theirs = cv2.cvtColor(i420, cv2.COLOR_YUV2RGB_I420)
+        assert np.abs(ours - theirs.astype(np.float32)).max() <= 1.0
+        # and the whole trip stays close to the original on smooth content
+        assert np.abs(ours - rgb[0].astype(np.float32)).mean() <= 4.0
+
+    def test_yuv_luma_is_gray(self):
+        """Y plane (rescaled) == to_gray, so tracking/DFD/ORB thresholds
+        transfer unchanged to the YUV streaming path."""
+        from pyannote_video_tpu.ops.color import (
+            rgb_to_yuv420,
+            yuv_luma_to_gray,
+        )
+
+        rng = np.random.default_rng(4)
+        rgb = rng.integers(0, 256, size=(2, 32, 48, 3), dtype=np.uint8)
+        y, _, _ = rgb_to_yuv420(rgb)
+        gray = np.asarray(to_gray(jnp.asarray(rgb)))
+        gray_from_y = np.asarray(yuv_luma_to_gray(jnp.asarray(y)))
+        assert np.abs(gray - gray_from_y).max() <= 1.0
+
 
 class TestDFD:
     def test_static_scene_near_zero(self):
