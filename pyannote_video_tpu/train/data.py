@@ -15,6 +15,44 @@ from ..utils.synthetic import FaceParams, _background, render_face
 from ..models.detector import WINDOW
 
 
+# geometric augmentation (generic image-space affine + cutout; trainers
+# never sample the eval-shift renderer — see utils/synthetic_shift.py)
+AUG_P = 0.6            # fraction of frames that get a random affine
+AUG_MAX_ROLL = 28.0    # degrees
+AUG_MIN_XSCALE = 0.78  # horizontal foreshortening (yaw proxy)
+AUG_MAX_SHEAR = 0.10
+AUG_CUTOUT_P = 0.25    # per-face probability of a cutout patch
+
+
+def _random_affine(rng: np.random.Generator) -> np.ndarray:
+    th = np.deg2rad(rng.uniform(-AUG_MAX_ROLL, AUG_MAX_ROLL))
+    xs = rng.uniform(AUG_MIN_XSCALE, 1.0)
+    sh = rng.uniform(-AUG_MAX_SHEAR, AUG_MAX_SHEAR)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    return rot @ np.array([[xs, sh], [0.0, 1.0]])
+
+
+def _warp_frame_and_boxes(img, gt, A, cx0, cy0):
+    """Affine `A` about (cx0, cy0): warp image, map each GT box (treated
+    as the face ellipse's bound) to the warped ellipse's bound."""
+    import cv2
+
+    h, w = img.shape[:2]
+    M = np.concatenate([A, ([[cx0], [cy0]] - A @ [[cx0], [cy0]])], axis=1)
+    out = cv2.warpAffine(img, M.astype(np.float32), (w, h),
+                         flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_REFLECT)
+    new_gt = []
+    for (l, t, r, b) in gt:
+        c = A @ [[(l + r) / 2 - cx0], [(t + b) / 2 - cy0]] + [[cx0], [cy0]]
+        hw, hh = (r - l) / 2, (b - t) / 2
+        bw = float(np.hypot(A[0, 0] * hw, A[0, 1] * hh))
+        bh = float(np.hypot(A[1, 0] * hw, A[1, 1] * hh))
+        new_gt.append((float(c[0, 0]) - bw, float(c[1, 0]) - bh,
+                       float(c[0, 0]) + bw, float(c[1, 0]) + bh))
+    return out, new_gt
+
+
 def detection_batch(rng: np.random.Generator, batch: int = 16,
                     height: int = 128, width: int = 128,
                     p_face: float = 0.8) -> Tuple[np.ndarray, List[List[Tuple[float, float, float, float]]]]:
@@ -66,6 +104,24 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
             bg = cv2.resize(bg, (width, height),
                             interpolation=cv2.INTER_LINEAR)
             gt = [tuple(v / ss for v in g) for g in gt]
+        # pose augmentation: random affine of the whole frame (roll / yaw
+        # foreshortening / shear) with exactly-warped GT, then cutouts —
+        # the detector must keep firing on posed, partially occluded faces
+        if gt and rng.random() < AUG_P:
+            A = _random_affine(rng)
+            bg, gt = _warp_frame_and_boxes(bg, gt, A, width / 2, height / 2)
+        for (l, t, r, btm2) in gt:
+            if rng.random() < AUG_CUTOUT_P:
+                fw, fh = r - l, btm2 - t
+                cw = rng.uniform(0.1, 0.25) * fw
+                chh = rng.uniform(0.1, 0.25) * fh
+                ox = (l + r) / 2 + rng.uniform(-0.8, 0.8) * fw / 2
+                oy = (t + btm2) / 2 + rng.uniform(-0.8, 0.8) * fh / 2
+                x0 = int(np.clip(ox - cw / 2, 0, width - 1))
+                y0 = int(np.clip(oy - chh / 2, 0, height - 1))
+                x1 = int(np.clip(ox + cw / 2, x0 + 1, width))
+                y1 = int(np.clip(oy + chh / 2, y0 + 1, height))
+                bg[y0:y1, x0:x1] = rng.uniform(20, 230)
         noise = rng.normal(0, 2.0, size=bg.shape)
         frames[b] = np.clip(bg + noise, 0, 255).astype(np.uint8)
         boxes.append(gt)

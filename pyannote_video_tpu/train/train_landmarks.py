@@ -22,23 +22,41 @@ from ..utils.synthetic import CANONICAL_LANDMARKS, FaceParams, _background, rend
 from ..models.landmarks import N_POINTS
 
 # cascade hyper-parameters (reduced from dlib's 10×500×depth-4 to keep the
-# committed weight file small; accuracy on the synthetic distribution is
-# equivalent)
-N_STAGES = 8
-N_TREES = 96
+# committed weight file small; pose-augmented training needs more capacity
+# than the upright-only round-2 cascade — 10×128 holds landmark error flat
+# across ±28° roll where 8×96 saturated)
+N_STAGES = 10
+N_TREES = 128
 DEPTH = 3
 POOL = 256
 N_CANDIDATES = 24
 LEARNING_RATE = 0.1
 LAMBDA_DIST = 0.1  # exp(-dist/lambda) prior for picking close pixel pairs
 
+# geometric augmentation ranges (generic image-space affine + cutout —
+# NOT the eval-domain renderer: trainers keep sampling domain A only,
+# see utils/synthetic_shift.py module docstring)
+AUG_MAX_ROLL = 28.0     # degrees
+AUG_MIN_XSCALE = 0.78   # horizontal foreshortening (yaw proxy)
+AUG_MAX_SHEAR = 0.10
+AUG_CUTOUT_P = 0.3      # probability of a cutout patch over the face
+AUG_CUTOUT_FRAC = 0.25  # max fraction of the face box a cutout covers
+
 
 def make_dataset(n_images: int = 700, size: int = 96, seed: int = 0,
-                 oversample: int = 2):
+                 oversample: int = 2, augment: bool = True):
     """Rendered faces with GT landmarks + jittered boxes.
+
+    With ``augment``, each rendered image goes through a random affine
+    about the face center (roll, horizontal scale, shear) — landmarks are
+    mapped through the same affine and the box becomes the warped face
+    ellipse's axis-aligned bound, matching what the detector produces for
+    a posed face — plus an optional cutout patch (occlusion robustness).
 
     Returns (grays [N, size, size], boxes [N, 4], gt_norm [N, 136]).
     """
+    import cv2
+
     rng = np.random.default_rng(seed)
     grays, boxes, gts = [], [], []
     for _ in range(n_images):
@@ -53,6 +71,34 @@ def make_dataset(n_images: int = 700, size: int = 96, seed: int = 0,
 
         half_w = face_h / 2.0 / params.aspect
         half_h = face_h / 2.0
+        if augment:
+            th = np.deg2rad(rng.uniform(-AUG_MAX_ROLL, AUG_MAX_ROLL))
+            xs = rng.uniform(AUG_MIN_XSCALE, 1.0)
+            sh = rng.uniform(-AUG_MAX_SHEAR, AUG_MAX_SHEAR)
+            rot = np.array([[np.cos(th), -np.sin(th)],
+                            [np.sin(th), np.cos(th)]])
+            A = rot @ np.array([[xs, sh], [0.0, 1.0]])
+            M = np.concatenate(
+                [A, ([[cx], [cy]] - A @ [[cx], [cy]])], axis=1)
+            gray = cv2.warpAffine(
+                gray, M.astype(np.float32), (size, size),
+                flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT)
+            lm = (lm - [cx, cy]) @ A.T + [cx, cy]
+            # box = axis-aligned bound of the warped face ellipse
+            bxw = float(np.hypot(A[0, 0] * half_w, A[0, 1] * half_h))
+            bxh = float(np.hypot(A[1, 0] * half_w, A[1, 1] * half_h))
+            half_w, half_h = bxw, bxh
+            if rng.random() < AUG_CUTOUT_P:
+                cw = rng.uniform(0.1, AUG_CUTOUT_FRAC) * 2 * half_w
+                chh = rng.uniform(0.1, AUG_CUTOUT_FRAC) * 2 * half_h
+                ox = cx + rng.uniform(-0.8, 0.8) * half_w
+                oy = cy + rng.uniform(-0.8, 0.8) * half_h
+                x0 = int(np.clip(ox - cw / 2, 0, size - 1))
+                y0 = int(np.clip(oy - chh / 2, 0, size - 1))
+                x1 = int(np.clip(ox + cw / 2, x0 + 1, size))
+                y1 = int(np.clip(oy + chh / 2, y0 + 1, size))
+                gray[y0:y1, x0:x1] = rng.uniform(20, 230)
+
         for _ in range(oversample):
             # jittered detection box (detector noise simulation)
             jx = rng.uniform(-0.06, 0.06) * 2 * half_w
@@ -173,7 +219,7 @@ def fit_tree(feats: np.ndarray, residual: np.ndarray,
     return i1, i2, thr, leaves, leaf_of
 
 
-def train(n_images: int = 700, seed: int = 0, verbose: bool = True) -> Dict:
+def train(n_images: int = 1000, seed: int = 0, verbose: bool = True) -> Dict:
     rng = np.random.default_rng(seed)
     grays, boxes, gt = make_dataset(n_images=n_images, seed=seed)
     N = len(grays)
