@@ -1,0 +1,315 @@
+"""Streaming end-to-end driver: decode → YUV420 staging → overlapped
+``device_put`` → back-to-back fused device programs.
+
+This is the sustained-throughput path the per-kernel benchmarks exclude:
+a feeder thread decodes video frames and packs them to planar YUV 4:2:0
+(half the bytes of RGB24 — the format real codecs emit natively), the
+main thread keeps ``depth`` batches in flight on the device, and a
+user-supplied ``compute(carry, ts, y, u, v) -> (carry, result)`` runs on
+batch *k* while batch *k+1* transfers.  The carry threads tracker /
+shot-boundary state across batch edges (`ops/dsst.py:shot_scan` takes
+state in and returns it, so chunked streaming tracking is exact).
+
+Replaces the reference's synchronous decode→compute frame loop
+(`pyannote/video/video.py:332-358` feeding `tracking.py:406`) with a
+pipelined design; on production hosts the decoder emits YUV planes
+directly (ffmpeg ``yuv420p`` / V4L2 NV12) so the host never touches RGB.
+
+Instrumentation: per-leg seconds (decode, pack, transfer-blocked,
+compute-blocked) and wall time, so a bench can report pipelining
+efficiency and the binding leg rather than a single opaque fps.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# host-side packing
+
+
+def pack_yuv420(frames_rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
+                                                 np.ndarray]:
+    """RGB uint8 batch [B, H, W, 3] → planar (Y [B,H,W], U, V [B,H/2,W/2]).
+
+    Uses cv2's C conversion path (limited-range BT.601 I420, the exact
+    convention `ops/color.py:yuv420_to_rgb` inverts); falls back to the
+    NumPy reference packer when cv2 is unavailable.
+    """
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover - cv2 is present in this image
+        from ..ops.color import rgb_to_yuv420
+        return rgb_to_yuv420(frames_rgb)
+
+    B, H, W, _ = frames_rgb.shape
+    y = np.empty((B, H, W), dtype=np.uint8)
+    u = np.empty((B, H // 2, W // 2), dtype=np.uint8)
+    v = np.empty((B, H // 2, W // 2), dtype=np.uint8)
+    for b in range(B):
+        i420 = cv2.cvtColor(frames_rgb[b], cv2.COLOR_RGB2YUV_I420)
+        y[b] = i420[:H]
+        u[b] = i420[H : H + H // 4].reshape(H // 2, W // 2)
+        v[b] = i420[H + H // 4 :].reshape(H // 2, W // 2)
+    return y, u, v
+
+
+# ---------------------------------------------------------------------------
+# instrumentation
+
+
+@dataclass
+class StreamStats:
+    """Per-leg accounting for one streaming run."""
+
+    frames: int = 0
+    batches: int = 0
+    bytes_shipped: int = 0
+    decode_s: float = 0.0      # feeder: source read time
+    pack_s: float = 0.0        # feeder: RGB→YUV420 packing time
+    feed_wait_s: float = 0.0   # main thread blocked waiting on the feeder
+    compute_s: float = 0.0     # main thread blocked in dispatch+sync
+    wall_s: float = 0.0
+    legs: dict = field(default_factory=dict)  # isolated leg rates (optional)
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.wall_s if self.wall_s else 0.0
+
+    @property
+    def transfer_gbps(self) -> float:
+        return (self.bytes_shipped / self.wall_s / 1e9) if self.wall_s else 0.0
+
+    def as_dict(self) -> dict:
+        d = {
+            "frames": self.frames,
+            "batches": self.batches,
+            "wall_s": round(self.wall_s, 3),
+            "fps": round(self.fps, 1),
+            "shipped_gb": round(self.bytes_shipped / 1e9, 3),
+            "decode_s": round(self.decode_s, 3),
+            "pack_s": round(self.pack_s, 3),
+            "feed_wait_s": round(self.feed_wait_s, 3),
+            "compute_blocked_s": round(self.compute_s, 3),
+        }
+        if self.legs:
+            d["legs"] = self.legs
+        return d
+
+
+# ---------------------------------------------------------------------------
+# feeder thread
+
+
+_SENTINEL = object()
+
+
+class _Feeder:
+    """Decode + pack on a background thread into a bounded queue.
+
+    The queue bound gives backpressure: the feeder never runs more than
+    ``depth`` batches ahead, so peak host memory is depth × batch bytes
+    (the TPU-side analog of the reference's single-frame pipe buffer).
+    """
+
+    def __init__(self, batches: Iterable, depth: int, stats: StreamStats,
+                 pack: bool = True):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stats = stats
+        self._pack = pack
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._run, args=(iter(batches),), daemon=True)
+        self._thread.start()
+
+    def _run(self, it: Iterator) -> None:
+        try:
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    item = next(it)
+                except StopIteration:
+                    break
+                t1 = time.perf_counter()
+                ts, frames = item
+                if self._pack:
+                    planes = pack_yuv420(frames)
+                else:  # pre-packed source: frames already (y, u, v)
+                    planes = frames
+                t2 = time.perf_counter()
+                self._stats.decode_s += t1 - t0
+                self._stats.pack_s += t2 - t1
+                self._q.put((ts, planes))
+        except BaseException as e:  # propagate into the consumer
+            self._err = e
+        finally:
+            self._q.put(_SENTINEL)
+
+    def __iter__(self):
+        while True:
+            t0 = time.perf_counter()
+            item = self._q.get()
+            self._stats.feed_wait_s += time.perf_counter() - t0
+            if item is _SENTINEL:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
+# ---------------------------------------------------------------------------
+# the driver
+
+
+def run_stream(batches: Iterable,
+               compute: Callable,
+               carry,
+               depth: int = 2,
+               pack: bool = True,
+               sync: Optional[Callable] = None) -> Tuple[object, list,
+                                                         StreamStats]:
+    """Drive ``compute`` over a stream of frame batches, overlapped.
+
+    batches  iterable of ``(timestamps [B], frames [B, H, W, 3] uint8)``
+             (or pre-packed ``(ts, (y, u, v))`` with ``pack=False``);
+    compute  ``(carry, ts, y, u, v) -> (carry, result)`` — must only
+             dispatch device work and return device arrays (no blocking);
+    carry    initial carry (e.g. ``(dsst.init_state(N), prev_gray)``);
+    depth    device batches kept in flight (2 = classic double buffer);
+    sync     optional ``result -> float`` forcing completion of one
+             result (defaults to a 1-element readback of the first leaf).
+
+    Returns ``(final_carry, results, stats)``.  Results are synced in
+    order, one sync per batch, while later batches transfer/execute —
+    through a relay/tunnel this is what hides per-dispatch latency.
+    """
+    stats = StreamStats()
+    if sync is None:
+        def sync(res):
+            leaf = jax.tree_util.tree_leaves(res)[0]
+            return float(jnp.ravel(leaf)[0])
+
+    feeder = _Feeder(batches, depth, stats, pack=pack)
+    inflight: list = []   # [(result,)] dispatched, unsynced
+    results: list = []
+    t_start = time.perf_counter()
+
+    for ts, (y, u, v) in feeder:
+        td0 = time.perf_counter()
+        dy, du, dv = jax.device_put(y), jax.device_put(u), jax.device_put(v)
+        carry, res = compute(carry, ts, dy, du, dv)
+        stats.compute_s += time.perf_counter() - td0
+        stats.bytes_shipped += y.nbytes + u.nbytes + v.nbytes
+        stats.frames += int(y.shape[0])
+        stats.batches += 1
+        inflight.append(res)
+        if len(inflight) > depth:
+            td0 = time.perf_counter()
+            done = inflight.pop(0)
+            sync(done)
+            stats.compute_s += time.perf_counter() - td0
+            results.append(done)
+    for done in inflight:
+        td0 = time.perf_counter()
+        sync(done)
+        stats.compute_s += time.perf_counter() - td0
+        results.append(done)
+
+    stats.wall_s = time.perf_counter() - t_start
+    return carry, results, stats
+
+
+# ---------------------------------------------------------------------------
+# leg isolation + projection helpers (used by bench.py)
+
+
+def isolate_legs(batches: list, compute: Callable, carry,
+                 sync: Optional[Callable] = None) -> dict:
+    """Measure each pipeline leg alone on a fixed in-RAM batch list.
+
+    Returns per-leg seconds for: decode+pack (host), transfer (synced
+    device_put), compute (device-resident inputs).  The overlapped wall
+    time from `run_stream` divided into these gives the pipelining
+    efficiency: wall ≈ max(legs) is perfect overlap, wall ≈ sum(legs)
+    is none.
+    """
+    if sync is None:
+        def sync(res):
+            leaf = jax.tree_util.tree_leaves(res)[0]
+            return float(jnp.ravel(leaf)[0])
+
+    # host leg: pack only (decode is the caller's source-specific cost)
+    t0 = time.perf_counter()
+    packed = [(ts, pack_yuv420(frames)) for ts, frames in batches]
+    t_pack = time.perf_counter() - t0
+
+    # transfer leg: ship every batch, forcing completion via readback
+    t0 = time.perf_counter()
+    dev = []
+    for ts, (y, u, v) in packed:
+        dy, du, dv = jax.device_put(y), jax.device_put(u), jax.device_put(v)
+        dev.append((ts, (dy, du, dv)))
+    # force all transfers (single tiny readback per batch)
+    for _, (dy, du, dv) in dev:
+        float(jnp.ravel(dy)[0])
+        float(jnp.ravel(du)[0])
+        float(jnp.ravel(dv)[0])
+    t_transfer = time.perf_counter() - t0
+
+    # compute leg: device-resident inputs, one sync at the end of each
+    t0 = time.perf_counter()
+    c = carry
+    for ts, (dy, du, dv) in dev:
+        c, res = compute(c, ts, dy, du, dv)
+        sync(res)
+    t_compute = time.perf_counter() - t0
+
+    n_frames = sum(int(b[1].shape[0]) if isinstance(b[1], np.ndarray)
+                   else int(b[1][0].shape[0]) for b in batches)
+    gb = sum(y.nbytes + u.nbytes + v.nbytes
+             for _, (y, u, v) in packed) / 1e9
+    return {
+        "pack_s": round(t_pack, 3),
+        "transfer_s": round(t_transfer, 3),
+        "compute_s": round(t_compute, 3),
+        "pack_fps": round(n_frames / t_pack, 1) if t_pack else None,
+        "transfer_fps": round(n_frames / t_transfer, 1),
+        "transfer_gbps": round(gb / t_transfer, 5),
+        "compute_fps": round(n_frames / t_compute, 1),
+    }
+
+
+def pipelining_efficiency(wall_s: float, leg_seconds: Iterable[float]
+                          ) -> float:
+    """1.0 = wall equals the slowest leg (perfect overlap); 0.0 = legs
+    ran strictly serially (wall equals their sum)."""
+    legs = [s for s in leg_seconds if s > 0]
+    if not legs:
+        return 1.0
+    total, worst = sum(legs), max(legs)
+    if total - worst <= 1e-9:
+        return 1.0
+    return max(0.0, min(1.0, (total - wall_s) / (total - worst)))
+
+
+def project_fps(bytes_per_frame: float, compute_fps: float,
+                link_gbps: float, decode_fps: Optional[float] = None
+                ) -> float:
+    """Sustained fps on a host whose device link runs at ``link_gbps``
+    (e.g. 12 GB/s effective PCIe gen3 x16), assuming the measured
+    compute rate and perfect overlap: min over the legs."""
+    transfer_fps = link_gbps * 1e9 / bytes_per_frame
+    legs = [compute_fps, transfer_fps]
+    if decode_fps:
+        legs.append(decode_fps)
+    return min(legs)
