@@ -75,9 +75,10 @@ class StreamStats:
     frames: int = 0
     batches: int = 0
     bytes_shipped: int = 0
-    decode_s: float = 0.0      # feeder: source read time
-    pack_s: float = 0.0        # feeder: RGB→YUV420 packing time
-    feed_wait_s: float = 0.0   # main thread blocked waiting on the feeder
+    decode_s: float = 0.0      # packer thread: source read time
+    pack_s: float = 0.0        # packer thread: RGB→YUV420 packing time
+    transfer_s: float = 0.0    # shipper thread: device_put + completion
+    feed_wait_s: float = 0.0   # main thread blocked waiting for batches
     compute_s: float = 0.0     # main thread blocked in dispatch+sync
     wall_s: float = 0.0
     legs: dict = field(default_factory=dict)  # isolated leg rates (optional)
@@ -99,6 +100,7 @@ class StreamStats:
             "shipped_gb": round(self.bytes_shipped / 1e9, 3),
             "decode_s": round(self.decode_s, 3),
             "pack_s": round(self.pack_s, 3),
+            "transfer_s": round(self.transfer_s, 3),
             "feed_wait_s": round(self.feed_wait_s, 3),
             "compute_blocked_s": round(self.compute_s, 3),
         }
@@ -114,22 +116,27 @@ class StreamStats:
 _SENTINEL = object()
 
 
-class _Feeder:
-    """Decode + pack on a background thread into a bounded queue.
+class _Stage:
+    """One pipeline stage: apply ``fn`` to upstream items on a thread.
 
-    The queue bound gives backpressure: the feeder never runs more than
-    ``depth`` batches ahead, so peak host memory is depth × batch bytes
-    (the TPU-side analog of the reference's single-frame pipe buffer).
+    The bounded output queue gives backpressure: a stage never runs more
+    than ``depth`` items ahead, so peak host memory is depth × batch
+    bytes per stage (the TPU-side analog of the reference's single-frame
+    pipe buffer).  Errors propagate to the consumer.  Because pack runs
+    in C (cv2) and ``device_put`` blocks in socket/DMA I/O with the GIL
+    released, decode, transfer, and compute genuinely overlap even on a
+    single-core host.
     """
 
-    def __init__(self, batches: Iterable, depth: int, stats: StreamStats,
-                 pack: bool = True):
+    def __init__(self, upstream: Iterable, fn: Callable, depth: int):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
-        self._stats = stats
-        self._pack = pack
+        self._fn = fn
         self._err: Optional[BaseException] = None
+        self.pull_s = 0.0   # time spent in upstream next() (incl. waits)
+        self.busy_s = 0.0   # time spent inside fn
+        self.wait_s = 0.0   # consumer time blocked on this stage's queue
         self._thread = threading.Thread(
-            target=self._run, args=(iter(batches),), daemon=True)
+            target=self._run, args=(iter(upstream),), daemon=True)
         self._thread.start()
 
     def _run(self, it: Iterator) -> None:
@@ -141,15 +148,11 @@ class _Feeder:
                 except StopIteration:
                     break
                 t1 = time.perf_counter()
-                ts, frames = item
-                if self._pack:
-                    planes = pack_yuv420(frames)
-                else:  # pre-packed source: frames already (y, u, v)
-                    planes = frames
+                out = self._fn(item)
                 t2 = time.perf_counter()
-                self._stats.decode_s += t1 - t0
-                self._stats.pack_s += t2 - t1
-                self._q.put((ts, planes))
+                self.pull_s += t1 - t0
+                self.busy_s += t2 - t1
+                self._q.put(out)
         except BaseException as e:  # propagate into the consumer
             self._err = e
         finally:
@@ -159,7 +162,7 @@ class _Feeder:
         while True:
             t0 = time.perf_counter()
             item = self._q.get()
-            self._stats.feed_wait_s += time.perf_counter() - t0
+            self.wait_s += time.perf_counter() - t0
             if item is _SENTINEL:
                 if self._err is not None:
                     raise self._err
@@ -189,9 +192,10 @@ def run_stream(batches: Iterable,
     sync     optional ``result -> float`` forcing completion of one
              result (defaults to a 1-element readback of the first leaf).
 
-    Returns ``(final_carry, results, stats)``.  Results are synced in
-    order, one sync per batch, while later batches transfer/execute —
-    through a relay/tunnel this is what hides per-dispatch latency.
+    Returns ``(final_carry, results, stats)``.  Three threads pipeline
+    the legs — decode+pack, ``device_put`` transfer, compute+sync — so
+    wall time approaches the slowest leg, not the sum: through a
+    relay/tunnel this is what hides per-dispatch and transfer latency.
     """
     stats = StreamStats()
     if sync is None:
@@ -199,18 +203,32 @@ def run_stream(batches: Iterable,
             leaf = jax.tree_util.tree_leaves(res)[0]
             return float(jnp.ravel(leaf)[0])
 
-    feeder = _Feeder(batches, depth, stats, pack=pack)
-    inflight: list = []   # [(result,)] dispatched, unsynced
-    results: list = []
-    t_start = time.perf_counter()
+    def do_pack(item):
+        ts, frames = item
+        planes = pack_yuv420(frames) if pack else frames
+        return ts, planes
 
-    for ts, (y, u, v) in feeder:
+    def do_put(item):
+        ts, (y, u, v) = item
+        stats.bytes_shipped += y.nbytes + u.nbytes + v.nbytes
+        dev = (jax.device_put(y), jax.device_put(u), jax.device_put(v))
+        # force the transfer on THIS thread (socket/DMA I/O, GIL
+        # released) so the compute thread never blocks on shipping
+        for d in dev:
+            float(jnp.ravel(d)[0])
+        return ts, dev, int(y.shape[0])
+
+    t_start = time.perf_counter()
+    packer = _Stage(batches, do_pack, depth)
+    shipper = _Stage(packer, do_put, depth)
+
+    inflight: list = []   # dispatched, unsynced results
+    results: list = []
+    for ts, (dy, du, dv), n in shipper:
         td0 = time.perf_counter()
-        dy, du, dv = jax.device_put(y), jax.device_put(u), jax.device_put(v)
         carry, res = compute(carry, ts, dy, du, dv)
         stats.compute_s += time.perf_counter() - td0
-        stats.bytes_shipped += y.nbytes + u.nbytes + v.nbytes
-        stats.frames += int(y.shape[0])
+        stats.frames += n
         stats.batches += 1
         inflight.append(res)
         if len(inflight) > depth:
@@ -226,6 +244,10 @@ def run_stream(batches: Iterable,
         results.append(done)
 
     stats.wall_s = time.perf_counter() - t_start
+    stats.decode_s = packer.pull_s    # upstream next() does the decode
+    stats.pack_s = packer.busy_s
+    stats.transfer_s = shipper.busy_s
+    stats.feed_wait_s = shipper.wait_s
     return carry, results, stats
 
 
