@@ -64,6 +64,49 @@ def pack_yuv420(frames_rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
     return y, u, v
 
 
+def video_yuv_batches(path: str, batch_size: int,
+                      drop_last: bool = True) -> Iterator:
+    """Decode a video file straight to pre-packed YUV420 batches.
+
+    cv2 decodes to BGR and the I420 pack happens per frame while it is
+    still cache-hot (BGR→I420 directly — no intermediate RGB pass, ~1 ms
+    per 720p frame single-threaded).  Yields ``(timestamps [B],
+    (y [B,H,W], u, v [B,H/2,W/2]))`` for `run_stream(..., pack=False)`.
+    A production decoder hands over the codec's own YUV planes and skips
+    even this; the reference instead pipes full RGB24 out of ffmpeg
+    (`video.py:345-348`), 2× the bytes of 4:2:0.
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"could not open {path}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    ys, us, vs, ts = [], [], [], []
+    i = 0
+    try:
+        while True:
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            H, W = bgr.shape[:2]
+            i420 = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)
+            ys.append(i420[:H])
+            us.append(i420[H : H + H // 4].reshape(H // 2, W // 2))
+            vs.append(i420[H + H // 4 :].reshape(H // 2, W // 2))
+            ts.append(i / fps)
+            i += 1
+            if len(ys) == batch_size:
+                yield (np.asarray(ts), (np.stack(ys), np.stack(us),
+                                        np.stack(vs)))
+                ys, us, vs, ts = [], [], [], []
+        if ys and not drop_last:
+            yield (np.asarray(ts), (np.stack(ys), np.stack(us),
+                                    np.stack(vs)))
+    finally:
+        cap.release()
+
+
 # ---------------------------------------------------------------------------
 # instrumentation
 

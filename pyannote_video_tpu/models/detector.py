@@ -45,10 +45,13 @@ STRIDE = 8           # total downsampling of the FCN
 PYRAMID_RATIO = 0.75
 DETECT_SMALLEST = WINDOW  # smallest detectable face without upsampling
 TOPK = 16            # candidates per level per frame
-# detection logit threshold: trained faces score 5-8, background noise
-# stays below ~2.5 (MMOD's zero-crossing is too permissive for the
-# regression-head variant)
-DEFAULT_THRESHOLD = 2.5
+# detection logit threshold, calibrated on the pose-augmented weights:
+# real faces score >=10 (p5 ~12, incl. tiny/rolled/occluded across eval
+# domains A/B/C), face-like decoys and background peak at <=3.3 — 6.0
+# sits ~2x above the worst distractor and ~40% below the weakest face.
+# (MMOD's zero-crossing is too permissive for the regression-head
+# variant; the r2 weights used 2.5 with faces scoring 5-8.)
+DEFAULT_THRESHOLD = 6.0
 
 
 def init_params(key) -> Params:
