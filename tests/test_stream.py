@@ -113,6 +113,40 @@ class TestRunStream:
             run_stream(bad(), self._compute(), jnp.float32(0.0))
 
 
+class TestVideoYUVBatches:
+    def test_decode_pack_roundtrip(self, tmp_path):
+        import cv2
+
+        from pyannote_video_tpu.io.stream import video_yuv_batches
+
+        # smooth moving gradient, MJPG-encodable without ffmpeg
+        path = str(tmp_path / "grad.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"),
+                            25, (64, 48))
+        frames = []
+        for i in range(10):
+            g = np.zeros((48, 64, 3), np.uint8)
+            g[:, :, 0] = np.linspace(10 + 5 * i, 200, 64)[None, :]
+            g[:, :, 1] = 90
+            g[:, :, 2] = np.linspace(40, 150, 48)[:, None]
+            frames.append(g)
+            w.write(g[:, :, ::-1])
+        w.release()
+
+        got = list(video_yuv_batches(path, 4))
+        assert len(got) == 2  # drop_last=True drops the 2-frame tail
+        ts, (y, u, v) = got[0]
+        assert y.shape == (4, 48, 64) and u.shape == (4, 24, 32)
+        assert np.allclose(ts, np.arange(4) / 25.0)
+        # luma must match the direct pack of the (MJPG-lossy) frame
+        rgb = np.asarray(yuv420_to_rgb(jnp.asarray(y), jnp.asarray(u),
+                                       jnp.asarray(v)))
+        assert np.abs(rgb[0] - frames[0].astype(np.float32)).mean() < 8.0
+
+        tail = list(video_yuv_batches(path, 4, drop_last=False))
+        assert len(tail) == 3 and tail[-1][1][0].shape[0] == 2
+
+
 class TestAccounting:
     def test_isolate_legs(self):
         batches = _batches(2)
