@@ -24,10 +24,11 @@ BASELINE.md).  Per-stage fps are reported as extra fields.
 Timing notes for this environment: the axon relay adds ~30-40 ms dispatch
 latency per synchronisation (included — we sync once per stage invocation
 via a scalar readback, as a real pipeline would) and caps host→device
-transfer at ~0.4 GB/s (~140 fps of raw 720p feed).  The transfer is
-excluded from the kernel metric — it is a tunnel artifact, overlappable via
-``pyannote_video_tpu.io.batch.prefetch_to_device`` and an order of
-magnitude faster on production PCIe hosts.
+transfer at ~0.05 GB/s measured (≈35 fps of YUV420 720p feed — the hard
+floor of the `sustained_e2e` metric below, which therefore reports
+per-leg rates, pipelining efficiency, and a PCIe-link projection).  The
+transfer is excluded from the kernel metric — it is a tunnel artifact,
+two-plus orders of magnitude faster on production PCIe hosts.
 """
 
 import json

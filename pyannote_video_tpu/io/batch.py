@@ -1,11 +1,13 @@
 """Device feeding: double-buffered host→device batch prefetch.
 
-The host→device transfer of raw frame batches is a hard throughput floor if
-serialized with compute (~0.45 s per 64×720p batch through this
-environment's tunnel).  ``DevicePrefetcher`` keeps N batches in flight:
-while the TPU computes on batch k, batch k+1 is already transferring —
-the JAX-native equivalent of the reference's single-producer ffmpeg pipe
-(`video.py:332-358`), upgraded to overlap I/O with compute.
+The host→device transfer of raw frame batches is a hard throughput floor
+if serialized with compute (this environment's tunnel moves ~0.05 GB/s —
+several seconds per 64×720p batch).  ``prefetch_to_device`` keeps N
+batches in flight: while the TPU computes on batch k, batch k+1 is
+already transferring — the JAX-native equivalent of the reference's
+single-producer ffmpeg pipe (`video.py:332-358`), upgraded to overlap
+I/O with compute.  For the full three-thread streaming pipeline with YUV420
+packing and per-leg instrumentation, see `io/stream.py`.
 """
 
 from __future__ import annotations

@@ -45,13 +45,14 @@ STRIDE = 8           # total downsampling of the FCN
 PYRAMID_RATIO = 0.75
 DETECT_SMALLEST = WINDOW  # smallest detectable face without upsampling
 TOPK = 16            # candidates per level per frame
-# detection logit threshold, calibrated on the pose-augmented weights:
-# real faces score >=10 (p5 ~12, incl. tiny/rolled/occluded across eval
-# domains A/B/C), face-like decoys and background peak at <=3.3 — 6.0
-# sits ~2x above the worst distractor and ~40% below the weakest face.
-# (MMOD's zero-crossing is too permissive for the regression-head
-# variant; the r2 weights used 2.5 with faces scoring 5-8.)
-DEFAULT_THRESHOLD = 6.0
+# detection logit threshold, calibrated on the pose+clutter-augmented
+# weights: distractors (face-like decoys, marked discs, clutter shapes,
+# background) all score < 0.5 across eval domains A/B/C/BC, while real
+# faces sit at 3.4+ (A p5 ~8; hardest rolled+shifted BC faces 2.1-4).
+# 2.0 keeps every distractor out with 4x margin and loses only the
+# 1-2 weakest extreme-pose faces per hundred (recovered by the
+# every-5-frames detection cadence + DSST bridging + gap fill).
+DEFAULT_THRESHOLD = 2.0
 
 
 def init_params(key) -> Params:

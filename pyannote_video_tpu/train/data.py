@@ -53,6 +53,59 @@ def _warp_frame_and_boxes(img, gt, A, cx0, cy0):
     return out, new_gt
 
 
+def _draw_clutter(bg: np.ndarray, rng: np.random.Generator,
+                  size: float) -> None:
+    """One generic high-contrast distractor: disc/ring/blob with optional
+    dark spots, or a grating patch.
+
+    A general clutter-negative family (standard detector training
+    practice): object geometry, colors, spot counts/radii/positions are
+    all drawn from broad random ranges — parameterised independently of
+    any eval-domain decoy generator.  Teaches the detector that "compact
+    shape containing a few dark dots" is not a face unless the actual
+    eye/mouth configuration is present.
+    """
+    h, w = bg.shape[:2]
+    half = size / 2.0
+    cx = float(rng.uniform(half, w - half))
+    cy = float(rng.uniform(half, h - half))
+    x0, x1 = int(max(0, cx - half - 1)), int(min(w, cx + half + 2))
+    y0, y1 = int(max(0, cy - half - 1)), int(min(h, cy + half + 2))
+    if x1 <= x0 or y1 <= y0:
+        return
+    gy, gx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
+    rr = np.sqrt(((gx - cx) / half) ** 2 + ((gy - cy) / half) ** 2)
+    region = bg[y0:y1, x0:x1]
+    kind = int(rng.integers(0, 4))
+    color = rng.uniform(40, 245, size=3)
+    if kind == 0:        # filled disc
+        region[rr <= 1.0] = color
+    elif kind == 1:      # ring / annulus
+        inner = rng.uniform(0.5, 0.85)
+        region[(rr <= 1.0) & (rr >= inner)] = color
+    elif kind == 2:      # soft blob (squashed gaussian-ish falloff)
+        sq = rng.uniform(0.6, 1.6)
+        rr2 = np.sqrt(((gx - cx) / (half * sq)) ** 2
+                      + ((gy - cy) / half) ** 2)
+        m = rr2 <= 1.0
+        a = np.clip(1.0 - rr2, 0.0, 1.0)[..., None]
+        region[m] = (region * (1 - a) + color[None, None] * a)[m]
+    else:                # grating patch
+        theta = rng.uniform(0, np.pi)
+        freq = rng.uniform(0.15, 0.7)
+        wave = np.sin((gx * np.cos(theta) + gy * np.sin(theta)) * freq)
+        m = rr <= 1.0
+        region[m & (wave > 0)] = color
+    # optional dark spots on the object (0-5, random placement/size)
+    for _ in range(int(rng.integers(0, 6))):
+        sr = rng.uniform(0.04, 0.18) * size
+        sx = cx + rng.uniform(-0.7, 0.7) * half
+        sy = cy + rng.uniform(-0.7, 0.7) * half
+        sgy, sgx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
+        sm = (sgx - sx) ** 2 + (sgy - sy) ** 2 <= sr ** 2
+        region[sm] = rng.uniform(0, 70, size=3)
+
+
 def detection_batch(rng: np.random.Generator, batch: int = 16,
                     height: int = 128, width: int = 128,
                     p_face: float = 0.8) -> Tuple[np.ndarray, List[List[Tuple[float, float, float, float]]]]:
@@ -87,6 +140,11 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
             dcx = rng.uniform(dh, cw - dh)
             dcy = rng.uniform(dh / 2, ch - dh / 2)
             render_face(bg, dcx, dcy, dh, decoy)
+        # generic clutter negatives: discs/rings/blobs/gratings with
+        # random dark spots — compact face-SIZED objects that are not
+        # faces (see `_draw_clutter`)
+        for _ in range(int(rng.integers(0, 3))):
+            _draw_clutter(bg, rng, WINDOW * ss * rng.uniform(0.7, 1.5))
         n_faces = rng.integers(0, 3) if rng.random() < p_face else 0
         for _ in range(n_faces):
             params = FaceParams.random(rng)
