@@ -117,8 +117,14 @@ def dfd_series_pallas(gray: jnp.ndarray, radius: int = 3,
                                                 prev.dtype)], axis=0)
         cur = jnp.concatenate([cur, jnp.zeros((n_pad, H, W), cur.dtype)],
                               axis=0)
+    # crop the padded frame to the kernel's block footprint: the shifted
+    # window never reads past row hc+2r / col wc+2r, and when H/W are not
+    # block multiples the un-cropped array would violate the TPU lowering
+    # rule that VMEM blocks equal the array dims (or tile 8x128).  Original
+    # pixels up to col wc+r-1 stay reachable — identical accesses to the
+    # XLA formulation (`ops/dfd.py`).
     cur_pad = jnp.pad(cur, ((0, 0), (radius, radius), (radius, radius)),
-                      mode="edge")
+                      mode="edge")[:, : hc + 2 * radius, : wc + 2 * radius]
     by, bx = _pool_matrices(hc, wc, block)
 
     kernel = partial(_dfd_kernel, radius=radius, hc=hc, wc=wc, block=block,

@@ -106,6 +106,38 @@ def _draw_clutter(bg: np.ndarray, rng: np.random.Generator,
         region[sm] = rng.uniform(0, 70, size=3)
 
 
+def _photometric_aug(bg: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Generic photometric augmentation: gain/bias, a linear illumination
+    gradient across the frame, horizontal motion blur, and variable sensor
+    noise.
+
+    Standard detector-training practice, parameterised independently of the
+    eval-shift renderer (`utils/synthetic_shift.py`) — the detector must
+    keep firing when pose/occlusion shifts COMBINE with photometric ones
+    (unlit/blurred rolled faces were the residual misses in the BC eval
+    domain).
+    """
+    import cv2
+
+    h, w = bg.shape[:2]
+    out = bg.astype(np.float32)
+    if rng.random() < 0.5:                      # global gain / bias
+        out = out * rng.uniform(0.7, 1.25) + rng.uniform(-25.0, 25.0)
+    if rng.random() < 0.35:                     # linear illumination gradient
+        theta = rng.uniform(0, 2 * np.pi)
+        gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+        ramp = ((gx / max(w - 1, 1)) * np.cos(theta)
+                + (gy / max(h - 1, 1)) * np.sin(theta))
+        ramp = (ramp - ramp.min()) / max(ramp.max() - ramp.min(), 1e-6)
+        out = out * (rng.uniform(0.55, 0.9)
+                     + ramp[..., None] * rng.uniform(0.2, 0.55))
+    if rng.random() < 0.3:                      # horizontal motion blur
+        k = int(rng.integers(3, 8))
+        out = cv2.filter2D(out, -1, np.full((1, k), 1.0 / k, np.float32))
+    out += rng.normal(0, rng.uniform(1.0, 6.0), size=out.shape)
+    return out
+
+
 def detection_batch(rng: np.random.Generator, batch: int = 16,
                     height: int = 128, width: int = 128,
                     p_face: float = 0.8) -> Tuple[np.ndarray, List[List[Tuple[float, float, float, float]]]]:
@@ -180,8 +212,8 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
                 x1 = int(np.clip(ox + cw / 2, x0 + 1, width))
                 y1 = int(np.clip(oy + chh / 2, y0 + 1, height))
                 bg[y0:y1, x0:x1] = rng.uniform(20, 230)
-        noise = rng.normal(0, 2.0, size=bg.shape)
-        frames[b] = np.clip(bg + noise, 0, 255).astype(np.uint8)
+        frames[b] = np.clip(_photometric_aug(bg, rng), 0, 255
+                            ).astype(np.uint8)
         boxes.append(gt)
     return frames, boxes
 

@@ -43,6 +43,32 @@ AUG_CUTOUT_P = 0.3      # probability of a cutout patch over the face
 AUG_CUTOUT_FRAC = 0.25  # max fraction of the face box a cutout covers
 
 
+def _photometric_gray(gray: np.ndarray, rng: np.random.Generator
+                      ) -> np.ndarray:
+    """Grayscale photometric augmentation (gain/bias, linear illumination
+    gradient, horizontal motion blur, variable noise) — the single-channel
+    counterpart of `train/data.py:_photometric_aug`, parameterised
+    independently of the eval-shift renderer."""
+    import cv2
+
+    h, w = gray.shape
+    out = gray.astype(np.float32)
+    if rng.random() < 0.5:
+        out = out * rng.uniform(0.7, 1.25) + rng.uniform(-25.0, 25.0)
+    if rng.random() < 0.35:
+        theta = rng.uniform(0, 2 * np.pi)
+        gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+        ramp = ((gx / max(w - 1, 1)) * np.cos(theta)
+                + (gy / max(h - 1, 1)) * np.sin(theta))
+        ramp = (ramp - ramp.min()) / max(ramp.max() - ramp.min(), 1e-6)
+        out = out * (rng.uniform(0.55, 0.9) + ramp * rng.uniform(0.2, 0.55))
+    if rng.random() < 0.3:
+        k = int(rng.integers(3, 8))
+        out = cv2.filter2D(out, -1, np.full((1, k), 1.0 / k, np.float32))
+    out += rng.normal(0, rng.uniform(1.0, 6.0), size=out.shape)
+    return out
+
+
 def make_dataset(n_images: int = 700, size: int = 96, seed: int = 0,
                  oversample: int = 2, augment: bool = True):
     """Rendered faces with GT landmarks + jittered boxes.
@@ -98,6 +124,12 @@ def make_dataset(n_images: int = 700, size: int = 96, seed: int = 0,
                 x1 = int(np.clip(ox + cw / 2, x0 + 1, size))
                 y1 = int(np.clip(oy + chh / 2, y0 + 1, size))
                 gray[y0:y1, x0:x1] = rng.uniform(20, 230)
+            # photometric: gain/bias, illumination gradient, motion blur —
+            # the ERT splits on raw pixel differences, which gain and
+            # gradients perturb (the residual error source on the
+            # photometric-shift eval domains)
+            gray = np.clip(
+                _photometric_gray(gray, rng), 0, 255).astype(np.float32)
 
         for _ in range(oversample):
             # jittered detection box (detector noise simulation)

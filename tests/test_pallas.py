@@ -35,6 +35,29 @@ class TestPallasDFD:
         # block-mean via pooling matmuls vs reshape: tiny float drift only
         np.testing.assert_allclose(out, ref, rtol=5e-3, atol=0.2)
 
+    def test_non_block_multiple_width(self):
+        # W=88 (not a multiple of block=5): the padded-frame VMEM block must
+        # be cropped to the kernel footprint or TPU lowering rejects it
+        # (block dims must equal array dims) — regression for the 720p
+        # streaming shape 50x88
+        from jax.experimental import pallas as pl
+        import unittest.mock as mock
+
+        rng = np.random.default_rng(3)
+        gray = jnp.asarray(rng.uniform(0, 255, (6, 50, 88)).astype(np.float32))
+        ref = np.asarray(dfd_series(gray))
+        orig = pl.pallas_call
+
+        def interp_call(*args, **kwargs):
+            kwargs["interpret"] = True
+            return orig(*args, **kwargs)
+
+        with mock.patch.object(
+            dfd_pallas.pl, "pallas_call", side_effect=interp_call
+        ):
+            out = np.asarray(dfd_pallas.dfd_series_pallas.__wrapped__(gray))
+        np.testing.assert_allclose(out, ref, rtol=5e-3, atol=0.2)
+
     def test_auto_falls_back_on_cpu(self):
         rng = np.random.default_rng(1)
         gray = jnp.asarray(rng.uniform(0, 255, (4, 40, 60)).astype(np.float32))
