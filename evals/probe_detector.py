@@ -1,0 +1,93 @@
+"""Detector score calibration probe across the eval render domains.
+
+For each domain (A = training distribution, B/C/BC = held-out shifts,
+`utils/synthetic_shift.py`) this renders episodes, runs the raw pyramid
+detector (threshold 0.5, i.e. far below the operating point), and reports
+the score distribution of true faces vs false positives:
+
+    <domain>: GT=<n> missed@0.5=<m> | real min/p5/p25 | fp n/max
+
+The packaged `DEFAULT_THRESHOLD` (`models/detector.py`) is chosen from
+this table: above every distractor with margin, below the weakest real
+face the pipeline must catch.  Re-run after any detector retrain.
+
+Usage:  python evals/probe_detector.py [--weights=path.npz] [--domains=A,B,C,BC]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+SEEDS = (101, 202, 303)
+
+
+def probe(domain: str, weights: str | None = None, seeds=SEEDS) -> dict:
+    import jax.numpy as jnp
+
+    from pyannote_video_tpu.models.detector import FaceDetector
+    from pyannote_video_tpu.ops.boxes import nms
+    from pyannote_video_tpu.utils.synthetic import synthetic_episode
+    from pyannote_video_tpu.utils.synthetic_shift import domain_hooks
+
+    det = FaceDetector(weights) if weights else FaceDetector()
+    real, fps_, miss, tot = [], [], 0, 0
+    for seed in seeds:
+        ep = synthetic_episode(
+            n_shots=6, shot_frames=10, width=640, height=480,
+            n_identities=6, seed=seed, **domain_hooks(domain))
+        idx = list(range(0, len(ep.frames), 3))
+        frames = ep.frames[idx]
+        B, H, W = frames.shape[:3]
+        scores_j, boxes_j = det._pyramid_fn(H, W)(
+            det.params, jnp.asarray(frames.astype(np.float32)))
+        scores = np.asarray(scores_j)
+        boxes = np.asarray(boxes_j)
+        for k, i in enumerate(idx):
+            gt = [f.box for f in ep.faces_at(i)]
+            m = scores[k] > 0.5
+            cb, cs = boxes[k][m], scores[k][m]
+            keep = nms(cb, cs, iou_threshold=det.nms_iou) if len(cb) else []
+            found = [False] * len(gt)
+            for j in keep:
+                b, s = cb[j], cs[j]
+                bc = ((b[0] + b[2]) / 2, (b[1] + b[3]) / 2)
+                hit = False
+                for gi, g in enumerate(gt):
+                    if g[0] <= bc[0] <= g[2] and g[1] <= bc[1] <= g[3]:
+                        hit = True
+                        found[gi] = True
+                        real.append(float(s))
+                if not hit:
+                    fps_.append(float(s))
+            tot += len(gt)
+            miss += len(gt) - sum(found)
+    r = np.asarray(real)
+    f = np.asarray(sorted(fps_))
+    out = {
+        "domain": domain, "gt": tot, "missed_at_0.5": miss,
+        "real_min": round(float(r.min()), 2) if len(r) else None,
+        "real_p5": round(float(np.percentile(r, 5)), 2) if len(r) else None,
+        "real_p25": round(float(np.percentile(r, 25)), 2) if len(r) else None,
+        "fp_n": int(len(f)),
+        "fp_max": round(float(f[-1]), 2) if len(f) else 0.0,
+    }
+    print(out, flush=True)
+    return out
+
+
+def main(argv):
+    weights = None
+    domains = ["A", "B", "C", "BC"]
+    for a in argv:
+        if a.startswith("--weights="):
+            weights = a.split("=", 1)[1]
+        elif a.startswith("--domains="):
+            domains = a.split("=", 1)[1].split(",")
+    for d in domains:
+        probe(d, weights)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
