@@ -132,6 +132,9 @@ def _scale_hann() -> jnp.ndarray:
     return w.astype(jnp.float32)
 
 
+_SCALE_SUPER = 48      # super-patch resolution for hierarchical sampling
+
+
 def _scale_feature_ffts(images: jnp.ndarray, frame_idx: jnp.ndarray,
                         pos: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
     """Scale-sample feature FFTs: [N, DF, Sr] complex.
@@ -140,23 +143,51 @@ def _scale_feature_ffts(images: jnp.ndarray, frame_idx: jnp.ndarray,
     (the target box itself — no translation-context padding), resized to
     SCALE_FEAT², standardized per sample, hann-windowed across the scale
     axis, then FFT'd along scales per feature dimension.
+
+    Extraction is HIERARCHICAL: one super-patch per slot covering the
+    largest scale sample is pulled from the full frame, and the SCALE_N
+    samples are resampled from it.  Direct extraction cost scales with
+    SCALE_N × frame-height column gathers (the 33-chip stack made the
+    scale filter ~4× the translation filter's traffic and halved the
+    whole-shot scan rate, measured r3); the super-patch form pays one
+    frame-resolution gather per slot and SCALE_N cheap 48-px gathers.
+    The largest sample maps 1:1 onto the super-patch; smaller ones
+    downsample from it — two-stage bilinear, which if anything
+    anti-aliases better than the 8×-decimating single stage.
     """
     from .warp import separable_resize_chips
 
     N = pos.shape[0]
     factors = _scale_factors()
-    region = size[:, None, :] * factors[None, :, None]     # [N, S, 2]
-    top = pos[:, None, 0] - region[..., 0] / 2.0
-    left = pos[:, None, 1] - region[..., 1] / 2.0
-    sy = region[..., 0] / SCALE_FEAT
-    sx = region[..., 1] / SCALE_FEAT
-    zeros = jnp.zeros_like(sx)
-    matrices = jnp.stack(
-        [jnp.stack([sx, zeros, left], axis=-1),
-         jnp.stack([zeros, sy, top], axis=-1)], axis=-2,
-    ).reshape(N * SCALE_N, 2, 3)
-    idx = jnp.repeat(frame_idx.astype(jnp.int32), SCALE_N)
-    out = separable_resize_chips(images[..., None], idx, matrices,
+    span = float(SCALE_STEP ** (SCALE_N // 2))  # largest relative sample
+
+    # stage 1: one super-patch per slot, span×size at pos, from the frame
+    sp_region = span * size                                 # [N, 2]
+    sp_top = pos[:, 0] - sp_region[:, 0] / 2.0
+    sp_left = pos[:, 1] - sp_region[:, 1] / 2.0
+    zeros1 = jnp.zeros_like(sp_top)
+    sp_mats = jnp.stack(
+        [jnp.stack([sp_region[:, 1] / _SCALE_SUPER, zeros1, sp_left],
+                   axis=-1),
+         jnp.stack([zeros1, sp_region[:, 0] / _SCALE_SUPER, sp_top],
+                   axis=-1)], axis=-2)                      # [N, 2, 3]
+    supers = separable_resize_chips(
+        images[..., None], frame_idx.astype(jnp.int32), sp_mats,
+        _SCALE_SUPER, _SCALE_SUPER)                         # [N, SP, SP, 1]
+
+    # stage 2: the SCALE_N samples, in super-patch coordinates — sample s
+    # covers factors[s]/span of the super-patch, centred
+    rel = factors / span                                    # [S] ≤ 1
+    side = rel * _SCALE_SUPER                               # [S] px in SP
+    off = (_SCALE_SUPER - side) / 2.0
+    sc = side / SCALE_FEAT
+    zeros = jnp.zeros_like(sc)
+    mats = jnp.stack(
+        [jnp.stack([sc, zeros, off], axis=-1),
+         jnp.stack([zeros, sc, off], axis=-1)], axis=-2)    # [S, 2, 3]
+    mats = jnp.tile(mats[None], (N, 1, 1, 1)).reshape(N * SCALE_N, 2, 3)
+    idx = jnp.repeat(jnp.arange(N, dtype=jnp.int32), SCALE_N)
+    out = separable_resize_chips(supers, idx, mats,
                                  SCALE_FEAT, SCALE_FEAT)
     feats = out[..., 0].reshape(N, SCALE_N, _SCALE_DF)
     feats = feats - feats.mean(axis=-1, keepdims=True)
