@@ -107,6 +107,58 @@ def video_yuv_batches(path: str, batch_size: int,
         cap.release()
 
 
+def write_yuv_file(path: str, batches: Iterable) -> int:
+    """Dump YUV420 batches to a raw I420 stream file; returns frame count.
+
+    Frame layout is ffmpeg's ``-pix_fmt yuv420p`` raw order (Y plane, then
+    U, then V) so the file doubles as an ``ffmpeg -f rawvideo`` input.
+    """
+    n = 0
+    with open(path, "wb") as fh:
+        for _, (y, u, v) in batches:
+            for b in range(y.shape[0]):
+                fh.write(y[b].tobytes())
+                fh.write(u[b].tobytes())
+                fh.write(v[b].tobytes())
+                n += 1
+    return n
+
+
+def yuv_file_batches(path: str, height: int, width: int, batch_size: int,
+                     fps: float = 25.0, drop_last: bool = True) -> Iterator:
+    """Read a raw I420 stream file as pre-packed YUV420 batches.
+
+    The pre-decoded source: models a production decoder (multi-core ffmpeg
+    ``-pix_fmt yuv420p`` pipe, NVDEC/VPU output) handing planar frames to
+    the ingest, so the streaming bench can separate the decode leg (a
+    software-codec cost that scales with host cores) from the
+    transfer/compute legs this framework owns.  Yields
+    ``(timestamps [B], (y [B,H,W], u, v [B,H/2,W/2]))`` for
+    ``run_stream(..., pack=False)``.
+    """
+    ysz = height * width
+    csz = (height // 2) * (width // 2)
+    fsz = ysz + 2 * csz
+    i = 0
+    with open(path, "rb") as fh:
+        while True:
+            raw = np.fromfile(fh, dtype=np.uint8, count=fsz * batch_size)
+            n = raw.size // fsz
+            if n == 0:
+                break
+            if n < batch_size and drop_last:
+                break
+            raw = raw[: n * fsz].reshape(n, fsz)
+            y = raw[:, :ysz].reshape(n, height, width)
+            u = raw[:, ysz : ysz + csz].reshape(n, height // 2, width // 2)
+            v = raw[:, ysz + csz :].reshape(n, height // 2, width // 2)
+            ts = (np.arange(i, i + n)) / fps
+            i += n
+            yield ts, (y, u, v)
+            if n < batch_size:
+                break
+
+
 # ---------------------------------------------------------------------------
 # instrumentation
 

@@ -99,6 +99,45 @@ def extract_chips(frames: jnp.ndarray, frame_idx: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("chip_size",))
+def extract_chips_yuv(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                      frame_idx: jnp.ndarray, landmarks: jnp.ndarray,
+                      chip_size: int = CHIP_SIZE) -> jnp.ndarray:
+    """Aligned RGB chips straight from planar YUV 4:2:0 frames.
+
+    y [T, H, W] uint8, u/v [T, H/2, W/2] uint8, frame_idx [N],
+    landmarks [N, 68, 2] → chips [N, chip_size, chip_size, 3] float32.
+
+    The streaming path's chip cut: the luma plane and the half-resolution
+    chroma planes are sampled separately with the same chip transform
+    (chroma through the I420 half grid, chroma sample (r, c) centered at
+    full-res (2r+0.5, 2c+0.5)), and the BT.601 limited-range inverse is
+    applied to the chip_size² chip pixels only — no full-resolution RGB
+    frame is ever materialised.  The reference instead decodes full RGB24
+    for every frame (`video.py:345-348`) and crops from that.
+    """
+    from ..ops.warp import separable_resize_chips
+
+    matrices = _axis_aligned(chip_transforms(landmarks), float(chip_size))
+    chip_y = separable_resize_chips(y[..., None], frame_idx, matrices,
+                                    chip_size, chip_size)[..., 0]
+    # chip→image maps through the half-res chroma grid:
+    #   x_chroma = (x_full − 0.5) / 2  →  scale/2, (offset − 0.5)/2
+    mc = matrices * 0.5
+    mc = mc.at[:, :, 2].set((matrices[:, :, 2] - 0.5) * 0.5)
+    chip_u = separable_resize_chips(u[..., None], frame_idx, mc,
+                                    chip_size, chip_size)[..., 0]
+    chip_v = separable_resize_chips(v[..., None], frame_idx, mc,
+                                    chip_size, chip_size)[..., 0]
+    yf = (chip_y - 16.0) * 1.164
+    uf = chip_u - 128.0
+    vf = chip_v - 128.0
+    r = yf + 1.596 * vf
+    g = yf - 0.392 * uf - 0.813 * vf
+    b = yf + 2.017 * uf
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+@partial(jax.jit, static_argnames=("chip_size",))
 def extract_chips_exact(frames: jnp.ndarray, frame_idx: jnp.ndarray,
                         landmarks: jnp.ndarray,
                         chip_size: int = CHIP_SIZE) -> jnp.ndarray:

@@ -13,6 +13,7 @@ from pyannote_video_tpu.models.chip import (
     canonical_chip_landmarks,
     chip_transforms,
     extract_chips,
+    extract_chips_yuv,
 )
 from pyannote_video_tpu.models.weights import (
     DETECTOR_FILE,
@@ -107,6 +108,27 @@ class TestChip:
         center = chip[60:90, 60:90].mean(axis=(0, 1))
         ident = episode.identities[obs.face_id]
         assert np.abs(center - np.asarray(ident.skin)).mean() < 60
+
+    def test_extract_chips_yuv_matches_rgb_path(self, episode):
+        # chips cut from YUV 4:2:0 planes must match the RGB path applied
+        # to the SAME 4:2:0 content (full-frame yuv420_to_rgb, then chip
+        # cut — what the streaming path used before this kernel).  The
+        # residual is chroma siting only: half-res bilinear at the chip
+        # grid vs nearest 2x upsample at the frame grid.
+        from pyannote_video_tpu.ops.color import rgb_to_yuv420, yuv420_to_rgb
+
+        obs = episode.faces_at(0)[0]
+        frames = episode.frames[:1]
+        fidx = jnp.asarray([0], dtype=jnp.int32)
+        lms = jnp.asarray(obs.landmarks[None])
+        y, u, v = rgb_to_yuv420(frames)
+        yj, uj, vj = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+        rec = jnp.round(yuv420_to_rgb(yj, uj, vj)).astype(jnp.uint8)
+        ref = np.asarray(extract_chips(rec, fidx, lms))
+        got = np.asarray(extract_chips_yuv(yj, uj, vj, fidx, lms))
+        assert got.shape == ref.shape == (1, 150, 150, 3)
+        assert np.abs(got - ref).mean() < 3.0
+        assert np.percentile(np.abs(got - ref), 99) < 20.0
 
     def test_box_to_landmarks_inside_box(self):
         boxes = jnp.asarray([[10.0, 20.0, 110.0, 140.0]])

@@ -173,3 +173,32 @@ class TestAccounting:
             0.047e9 / bpf)
         # decode can bind
         assert project_fps(bpf, 500.0, 12.0, decode_fps=80.0) == 80.0
+
+
+class TestYUVFileSource:
+    def test_write_read_roundtrip(self, tmp_path):
+        from pyannote_video_tpu.io.stream import (
+            write_yuv_file,
+            yuv_file_batches,
+        )
+
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 255, size=(10, 48, 64, 3), dtype=np.uint8)
+        planes = rgb_to_yuv420(frames)
+        src = [(np.arange(4) / 25.0, tuple(p[:4] for p in planes)),
+               (np.arange(4, 10) / 25.0, tuple(p[4:] for p in planes))]
+        path = str(tmp_path / "clip.i420")
+        n = write_yuv_file(path, src)
+        assert n == 10
+
+        got = list(yuv_file_batches(path, 48, 64, 4))
+        assert len(got) == 2  # drop_last drops the 2-frame tail
+        ts, (y, u, v) = got[1]
+        assert y.shape == (4, 48, 64) and u.shape == (4, 24, 32)
+        np.testing.assert_array_equal(y, planes[0][4:8])
+        np.testing.assert_array_equal(u, planes[1][4:8])
+        np.testing.assert_array_equal(v, planes[2][4:8])
+        np.testing.assert_allclose(ts, np.arange(4, 8) / 25.0)
+
+        tail = list(yuv_file_batches(path, 48, 64, 4, drop_last=False))
+        assert len(tail) == 3 and tail[-1][1][0].shape[0] == 2
