@@ -133,6 +133,69 @@ def _scale_hann() -> jnp.ndarray:
 
 
 _SCALE_SUPER = 48      # super-patch resolution for hierarchical sampling
+_STEP_SUPER = 128      # shared super-patch resolution inside _step_core
+
+
+def _super_patch(images: jnp.ndarray, frame_idx: jnp.ndarray,
+                 pos: jnp.ndarray, region: jnp.ndarray,
+                 res: int) -> jnp.ndarray:
+    """One res² patch per slot covering ``region`` (h, w) centred at pos.
+
+    The single frame-resolution structured access of a hierarchical
+    sampling scheme; everything that needs sub-patches of the same
+    neighbourhood resamples from this instead of touching the frame again.
+    Returns [N, res, res, 1] float32.
+    """
+    from .warp import separable_resize_chips
+
+    top = pos[:, 0] - region[:, 0] / 2.0
+    left = pos[:, 1] - region[:, 1] / 2.0
+    zeros = jnp.zeros_like(top)
+    mats = jnp.stack(
+        [jnp.stack([region[:, 1] / res, zeros, left], axis=-1),
+         jnp.stack([zeros, region[:, 0] / res, top], axis=-1)],
+        axis=-2)                                            # [N, 2, 3]
+    return separable_resize_chips(
+        images[..., None], frame_idx.astype(jnp.int32), mats, res, res)
+
+
+def _resample_super(supers: jnp.ndarray, frac_h: jnp.ndarray,
+                    frac_w: jnp.ndarray, out_res: int) -> jnp.ndarray:
+    """Centred sub-patches cut from super-patches.
+
+    supers [N, SUP, SUP, 1]; frac_h/frac_w [N, S] — per-(slot, sample)
+    fraction of the super-patch the sub-patch covers → [N, S, out, out].
+    """
+    from .warp import separable_resize_chips
+
+    N, SUP = supers.shape[0], supers.shape[1]
+    S = frac_h.shape[1]
+    side_y = frac_h * SUP
+    side_x = frac_w * SUP
+    off_y = (SUP - side_y) / 2.0
+    off_x = (SUP - side_x) / 2.0
+    zeros = jnp.zeros_like(side_x)
+    mats = jnp.stack(
+        [jnp.stack([side_x / out_res, zeros, off_x], axis=-1),
+         jnp.stack([zeros, side_y / out_res, off_y], axis=-1)],
+        axis=-2).reshape(N * S, 2, 3)
+    idx = jnp.repeat(jnp.arange(N, dtype=jnp.int32), S)
+    out = separable_resize_chips(supers, idx, mats, out_res, out_res)
+    return out[..., 0].reshape(N, S, out_res, out_res)
+
+
+def _scale_fft_from_samples(samples: jnp.ndarray) -> jnp.ndarray:
+    """[N, SCALE_N, F, F] scale samples → feature FFTs [N, DF, Sr].
+
+    Per-sample standardization, hann window across the scale axis, rfft
+    along scales per feature dimension (Danelljan's 1-D scale filter)."""
+    N = samples.shape[0]
+    feats = samples.reshape(N, SCALE_N, _SCALE_DF)
+    feats = feats - feats.mean(axis=-1, keepdims=True)
+    feats = feats / (jnp.sqrt((feats ** 2).mean(axis=-1, keepdims=True))
+                     + 1e-5)
+    feats = feats * _scale_hann()[None, :, None]
+    return jnp.fft.rfft(feats.transpose(0, 2, 1), axis=-1)  # [N, DF, Sr]
 
 
 def _scale_feature_ffts(images: jnp.ndarray, frame_idx: jnp.ndarray,
@@ -154,47 +217,18 @@ def _scale_feature_ffts(images: jnp.ndarray, frame_idx: jnp.ndarray,
     The largest sample maps 1:1 onto the super-patch; smaller ones
     downsample from it — two-stage bilinear, which if anything
     anti-aliases better than the 8×-decimating single stage.
-    """
-    from .warp import separable_resize_chips
 
+    (Used on the init paths; `_step_core` amortises further — one shared
+    `_STEP_SUPER` patch feeds scale measure + filter updates.)
+    """
     N = pos.shape[0]
     factors = _scale_factors()
     span = float(SCALE_STEP ** (SCALE_N // 2))  # largest relative sample
 
-    # stage 1: one super-patch per slot, span×size at pos, from the frame
-    sp_region = span * size                                 # [N, 2]
-    sp_top = pos[:, 0] - sp_region[:, 0] / 2.0
-    sp_left = pos[:, 1] - sp_region[:, 1] / 2.0
-    zeros1 = jnp.zeros_like(sp_top)
-    sp_mats = jnp.stack(
-        [jnp.stack([sp_region[:, 1] / _SCALE_SUPER, zeros1, sp_left],
-                   axis=-1),
-         jnp.stack([zeros1, sp_region[:, 0] / _SCALE_SUPER, sp_top],
-                   axis=-1)], axis=-2)                      # [N, 2, 3]
-    supers = separable_resize_chips(
-        images[..., None], frame_idx.astype(jnp.int32), sp_mats,
-        _SCALE_SUPER, _SCALE_SUPER)                         # [N, SP, SP, 1]
-
-    # stage 2: the SCALE_N samples, in super-patch coordinates — sample s
-    # covers factors[s]/span of the super-patch, centred
-    rel = factors / span                                    # [S] ≤ 1
-    side = rel * _SCALE_SUPER                               # [S] px in SP
-    off = (_SCALE_SUPER - side) / 2.0
-    sc = side / SCALE_FEAT
-    zeros = jnp.zeros_like(sc)
-    mats = jnp.stack(
-        [jnp.stack([sc, zeros, off], axis=-1),
-         jnp.stack([zeros, sc, off], axis=-1)], axis=-2)    # [S, 2, 3]
-    mats = jnp.tile(mats[None], (N, 1, 1, 1)).reshape(N * SCALE_N, 2, 3)
-    idx = jnp.repeat(jnp.arange(N, dtype=jnp.int32), SCALE_N)
-    out = separable_resize_chips(supers, idx, mats,
-                                 SCALE_FEAT, SCALE_FEAT)
-    feats = out[..., 0].reshape(N, SCALE_N, _SCALE_DF)
-    feats = feats - feats.mean(axis=-1, keepdims=True)
-    feats = feats / (jnp.sqrt((feats ** 2).mean(axis=-1, keepdims=True))
-                     + 1e-5)
-    feats = feats * _scale_hann()[None, :, None]
-    return jnp.fft.rfft(feats.transpose(0, 2, 1), axis=-1)  # [N, DF, Sr]
+    supers = _super_patch(images, frame_idx, pos, span * size, _SCALE_SUPER)
+    frac = jnp.tile((factors / span)[None, :], (N, 1))      # [N, S]
+    samples = _resample_super(supers, frac, frac, SCALE_FEAT)
+    return _scale_fft_from_samples(samples)
 
 
 def _scale_filter_init(images, frame_idx, pos, size):
@@ -402,24 +436,49 @@ def _step_core(state: TrackState, images: jnp.ndarray,
         [dy_pix * region[:, 0] / P, dx_pix * region[:, 1] / P], axis=1
     )
 
+    # --- one shared super-patch at the new position ----------------------
+    # The scale-measure stack, the translation-filter update patch, and the
+    # scale-filter update stack all sample the same neighbourhood of
+    # new_pos; ONE frame-resolution structured access covers the union
+    # (PATCH_SCALE·span·size ≈ 2.75×size bounds 2×new_size and
+    # span×{size, new_size} since new_size/size = rel ∈ [1/span, span]),
+    # and the three consumers resample from it.  Cuts the scan's
+    # frame-resolution extractions per step from 4 to 2 — extraction, not
+    # FFT, dominates the step (measured; see `_extract_patches` notes).
+    span = float(SCALE_STEP ** (SCALE_N // 2))
+    sup_region = (PATCH_SCALE * span) * state.size          # [N, 2]
+    supers = _super_patch(images, slot_frame, new_pos, sup_region,
+                          _STEP_SUPER)
+    factors = _scale_factors()
+
     # --- scale: 1-D correlation over SCALE_N samples at the new position -
-    Fs = _scale_feature_ffts(images, slot_frame, new_pos, state.size)
+    frac_s = (factors[None, :, None] * state.size[:, None, :]
+              / sup_region[:, None, :])                     # [N, S, 2]
+    Fs = _scale_fft_from_samples(
+        _resample_super(supers, frac_s[..., 0], frac_s[..., 1], SCALE_FEAT))
     s_num = jax.lax.complex(state.s_num_re, state.s_num_im)
     s_resp = jnp.fft.irfft(
         jnp.sum(s_num * Fs, axis=1) / (state.s_den + LAMBDA), n=SCALE_N,
         axis=-1,
     )                                                      # [N, SCALE_N]
-    rel = _scale_factors()[jnp.argmax(s_resp, axis=1)]     # [N]
+    rel = factors[jnp.argmax(s_resp, axis=1)]              # [N]
     new_size = jnp.maximum(state.size * rel[:, None], 4.0)
 
     # --- update both filters at the new position/size --------------------
-    Fn = _slot_ffts(images, slot_frame, new_pos, new_size, hann)
+    frac_u = PATCH_SCALE * new_size / sup_region            # [N, 2]
+    upd_patch = _resample_super(supers, frac_u[:, None, 0],
+                                frac_u[:, None, 1], P)[:, 0]
+    Fn = jnp.fft.rfft2(_features(upd_patch, hann))
     upd = G[None] * jnp.conj(Fn)
     new_num_re = (1.0 - ETA) * state.num_re + ETA * upd.real
     new_num_im = (1.0 - ETA) * state.num_im + ETA * upd.imag
     new_den = (1.0 - ETA) * state.den + ETA * (Fn * jnp.conj(Fn)).real
 
-    Fsn = _scale_feature_ffts(images, slot_frame, new_pos, new_size)
+    frac_sn = (factors[None, :, None] * new_size[:, None, :]
+               / sup_region[:, None, :])                    # [N, S, 2]
+    Fsn = _scale_fft_from_samples(
+        _resample_super(supers, frac_sn[..., 0], frac_sn[..., 1],
+                        SCALE_FEAT))
     Gs = _scale_target_fft()
     s_upd = Gs[None, None, :] * jnp.conj(Fsn)
     new_s_num_re = (1.0 - SCALE_ETA) * state.s_num_re + SCALE_ETA * s_upd.real

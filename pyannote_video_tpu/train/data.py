@@ -17,11 +17,12 @@ from ..models.detector import WINDOW
 
 # geometric augmentation (generic image-space affine + cutout; trainers
 # never sample the eval-shift renderer — see utils/synthetic_shift.py)
-AUG_P = 0.6            # fraction of frames that get a random affine
-AUG_MAX_ROLL = 28.0    # degrees
-AUG_MIN_XSCALE = 0.78  # horizontal foreshortening (yaw proxy)
-AUG_MAX_SHEAR = 0.10
+AUG_P = 0.7            # fraction of frames that get a random affine
+AUG_MAX_ROLL = 30.0    # degrees
+AUG_MIN_XSCALE = 0.76  # horizontal foreshortening (yaw proxy)
+AUG_MAX_SHEAR = 0.11
 AUG_CUTOUT_P = 0.25    # per-face probability of a cutout patch
+AUG_SIDEBAR_P = 0.25   # per-face probability of a side occlusion bar
 
 
 def _random_affine(rng: np.random.Generator) -> np.ndarray:
@@ -122,18 +123,20 @@ def _photometric_aug(bg: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     h, w = bg.shape[:2]
     out = bg.astype(np.float32)
     if rng.random() < 0.5:                      # global gain / bias
-        out = out * rng.uniform(0.7, 1.25) + rng.uniform(-25.0, 25.0)
-    if rng.random() < 0.35:                     # linear illumination gradient
+        out = out * rng.uniform(0.6, 1.25) + rng.uniform(-25.0, 25.0)
+    if rng.random() < 0.4:                      # linear illumination gradient
         theta = rng.uniform(0, 2 * np.pi)
         gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
         ramp = ((gx / max(w - 1, 1)) * np.cos(theta)
                 + (gy / max(h - 1, 1)) * np.sin(theta))
         ramp = (ramp - ramp.min()) / max(ramp.max() - ramp.min(), 1e-6)
-        out = out * (rng.uniform(0.55, 0.9)
-                     + ramp[..., None] * rng.uniform(0.2, 0.55))
-    if rng.random() < 0.3:                      # horizontal motion blur
-        k = int(rng.integers(3, 8))
-        out = cv2.filter2D(out, -1, np.full((1, k), 1.0 / k, np.float32))
+        out = out * (rng.uniform(0.5, 0.9)
+                     + ramp[..., None] * rng.uniform(0.2, 0.6))
+    if rng.random() < 0.35:                     # motion blur (mostly horiz.)
+        k = int(rng.integers(3, 11))
+        kern = (np.full((1, k), 1.0 / k, np.float32) if rng.random() < 0.8
+                else np.full((k, 1), 1.0 / k, np.float32))
+        out = cv2.filter2D(out, -1, kern)
     out += rng.normal(0, rng.uniform(1.0, 6.0), size=out.shape)
     return out
 
@@ -212,6 +215,24 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
                 x1 = int(np.clip(ox + cw / 2, x0 + 1, width))
                 y1 = int(np.clip(oy + chh / 2, y0 + 1, height))
                 bg[y0:y1, x0:x1] = rng.uniform(20, 230)
+            if rng.random() < AUG_SIDEBAR_P:
+                # side occlusion bar: a solid rectangle covering up to a
+                # quarter of the face from one edge (hands, foreground
+                # props, frame edges — the generic partial-occlusion case)
+                fw, fh = r - l, btm2 - t
+                frac = rng.uniform(0.12, 0.28)
+                side = rng.integers(0, 3)
+                if side == 0:    # bottom
+                    ol, ot, orr, ob = l, btm2 - fh * frac, r, btm2
+                elif side == 1:  # left
+                    ol, ot, orr, ob = l, t + fh * 0.2, l + fw * frac, btm2
+                else:            # right
+                    ol, ot, orr, ob = r - fw * frac, t + fh * 0.2, r, btm2
+                x0 = int(np.clip(ol, 0, width - 1))
+                y0 = int(np.clip(ot, 0, height - 1))
+                x1 = int(np.clip(orr, x0 + 1, width))
+                y1 = int(np.clip(ob, y0 + 1, height))
+                bg[y0:y1, x0:x1] = rng.uniform(20, 230, size=3)
         frames[b] = np.clip(_photometric_aug(bg, rng), 0, 255
                             ).astype(np.uint8)
         boxes.append(gt)
