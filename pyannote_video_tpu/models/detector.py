@@ -121,17 +121,11 @@ def pyramid_scales(height: int, width: int, upsample: int = 0,
     return scales
 
 
-@partial(jax.jit, static_argnames=("level_h", "level_w"))
-def _level_candidates(params: Params, frames: jnp.ndarray,
-                      level_h: int, level_w: int, scale: float):
-    """One pyramid level: resize → FCN → device top-K decoded candidates.
+def _decode_level(params: Params, imgs: jnp.ndarray, scale: float):
+    """FCN + device top-K decode for ONE already-resized pyramid level.
 
     Returns (scores [B, K], boxes [B, K, 4]) in ORIGINAL image coordinates.
     """
-    # the whole pyramid chain runs in bfloat16: resize + FCN are
-    # bandwidth-bound on the large levels and the conv accumulation stays
-    # float32 (models/nn.py conv preferred_element_type)
-    imgs = resize_bilinear(frames.astype(jnp.bfloat16), level_h, level_w)
     maps, _ = forward_maps(params, imgs)
     B, mh, mw, _ = maps.shape
     logits = maps[..., 0].reshape(B, mh * mw)
@@ -155,6 +149,45 @@ def _level_candidates(params: Params, frames: jnp.ndarray,
         axis=-1,
     )
     return top_scores, boxes
+
+
+@partial(jax.jit, static_argnames=("level_h", "level_w"))
+def _level_candidates(params: Params, frames: jnp.ndarray,
+                      level_h: int, level_w: int, scale: float):
+    """One pyramid level resized directly from the original frames."""
+    imgs = resize_bilinear(frames.astype(jnp.bfloat16), level_h, level_w)
+    return _decode_level(params, imgs, scale)
+
+
+def pyramid_candidates(params: Params, frames: jnp.ndarray,
+                       level_dims) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ALL pyramid levels with CHAINED downsampling — dlib's own
+    ``pyramid_down`` semantics (each level resamples the previous one, not
+    the original), which cuts the resize traffic: every sub-1 level reads
+    a source only 4/3 its own size instead of the full-resolution frame,
+    and the scale-1.0 level skips its resize entirely.  The whole chain
+    runs in bfloat16 (the pyramid FCN is bandwidth-bound; conv
+    accumulation stays float32 via preferred_element_type).
+
+    ``level_dims``: [(level_h, level_w, scale)] largest first, as built by
+    the callers from `pyramid_scales`.  Returns (scores [B, K_total],
+    boxes [B, K_total, 4]) in original-image coordinates.
+    """
+    ss, bb = [], []
+    cur = frames.astype(jnp.bfloat16)
+    for (lh, lw, s) in level_dims:
+        if s > 1.0:
+            # upsampled levels always interpolate the original frames
+            imgs = resize_bilinear(frames.astype(jnp.bfloat16), lh, lw)
+        elif (lh, lw) == (cur.shape[1], cur.shape[2]):
+            imgs = cur
+        else:
+            imgs = resize_bilinear(cur, lh, lw)
+            cur = imgs
+        sc, bx = _decode_level(params, imgs, s)
+        ss.append(sc)
+        bb.append(bx)
+    return jnp.concatenate(ss, axis=1), jnp.concatenate(bb, axis=1)
 
 
 class FaceDetector:
@@ -201,12 +234,7 @@ class FaceDetector:
 
             @jax.jit
             def run(params, frames):
-                ss, bb = [], []
-                for (lh, lw, s) in level_dims:
-                    sc, bx = _level_candidates(params, frames, lh, lw, s)
-                    ss.append(sc)
-                    bb.append(bx)
-                return jnp.concatenate(ss, axis=1), jnp.concatenate(bb, axis=1)
+                return pyramid_candidates(params, frames, level_dims)
 
             self._pyramid_fns[key] = run
         return self._pyramid_fns[key]

@@ -134,15 +134,10 @@ class FusedFacePipeline:
             frames = frames_u8.astype(jnp.float32)
             B = frames.shape[0]
 
-            cand_scores = []
-            cand_boxes = []
-            for (lh, lw, s) in level_dims:
-                # nested jit calls inline into the enclosing program
-                sc, bx = det._level_candidates(det_params, frames, lh, lw, s)
-                cand_scores.append(sc)
-                cand_boxes.append(bx)
-            scores = jnp.concatenate(cand_scores, axis=1)  # [B, K]
-            boxes = jnp.concatenate(cand_boxes, axis=1)    # [B, K, 4]
+            # chained-pyramid detection (dlib pyramid_down semantics —
+            # each level resamples the previous; models/detector.py)
+            scores, boxes = det.pyramid_candidates(det_params, frames,
+                                                   level_dims)
             # below-threshold candidates can never be selected
             scores = jnp.where(scores > threshold, scores, -jnp.inf)
 
