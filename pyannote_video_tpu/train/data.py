@@ -21,6 +21,7 @@ AUG_P = 0.7            # fraction of frames that get a random affine
 AUG_MAX_ROLL = 30.0    # degrees
 AUG_MIN_XSCALE = 0.76  # horizontal foreshortening (yaw proxy)
 AUG_MAX_SHEAR = 0.11
+AUG_YSCALE = (0.85, 1.18)  # vertical stretch (face aspect-ratio coverage)
 AUG_CUTOUT_P = 0.25    # per-face probability of a cutout patch
 AUG_SIDEBAR_P = 0.25   # per-face probability of a side occlusion bar
 
@@ -28,9 +29,10 @@ AUG_SIDEBAR_P = 0.25   # per-face probability of a side occlusion bar
 def _random_affine(rng: np.random.Generator) -> np.ndarray:
     th = np.deg2rad(rng.uniform(-AUG_MAX_ROLL, AUG_MAX_ROLL))
     xs = rng.uniform(AUG_MIN_XSCALE, 1.0)
+    ys = rng.uniform(*AUG_YSCALE)
     sh = rng.uniform(-AUG_MAX_SHEAR, AUG_MAX_SHEAR)
     rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
-    return rot @ np.array([[xs, sh], [0.0, 1.0]])
+    return rot @ np.array([[xs, sh], [0.0, ys]])
 
 
 def _warp_frame_and_boxes(img, gt, A, cx0, cy0):
@@ -156,12 +158,12 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
     for b in range(batch):
         # super-scale augmentation: at inference, large faces reach the
         # detector through the pyramid's bilinear downscale
-        # (`models/detector.py:_level_candidates`), which smooths edges and
-        # aliases texture — crisply rendered window-scale faces never look
-        # like that.  Render half the crops at a random super-scale and
-        # bilinear-downscale, covering the pyramid's appearance
-        # distribution up to ~5x faces (192 px at 480p).
-        ss = float(rng.uniform(1.5, 4.8)) if rng.random() < 0.5 else 1.0
+        # (`models/detector.py:pyramid_candidates`), which smooths edges
+        # and aliases texture — crisply rendered window-scale faces never
+        # look like that.  Render half the crops at a random super-scale
+        # and downscale, covering the pyramid's appearance distribution up
+        # to ~5.6x faces (220+ px at 480p, the big-closeup band).
+        ss = float(rng.uniform(1.5, 5.6)) if rng.random() < 0.5 else 1.0
         ch, cw = int(round(height * ss)), int(round(width * ss))
         bg = _background(cw, ch, rng)
         gt: List[Tuple[float, float, float, float]] = []
@@ -194,6 +196,17 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
             render_face(bg, cx, cy, face_h, params)
             gt.append((cx - half_w, cy - face_h / 2, cx + half_w, cy + face_h / 2))
         if ss != 1.0:
+            # CHAINED 3/4-step downscale — the exact resample path a big
+            # face takes through the serve-time pyramid
+            # (`models/detector.py:pyramid_candidates`); a single direct
+            # resize has a different alias/blur signature and leaves a
+            # train/serve appearance gap on large faces (measured: chained
+            # serving dropped scores of faces trained on direct downscale)
+            cw2, ch2 = bg.shape[1], bg.shape[0]
+            while round(cw2 * 0.75) > width:
+                cw2, ch2 = round(cw2 * 0.75), round(ch2 * 0.75)
+                bg = cv2.resize(bg, (cw2, ch2),
+                                interpolation=cv2.INTER_LINEAR)
             bg = cv2.resize(bg, (width, height),
                             interpolation=cv2.INTER_LINEAR)
             gt = [tuple(v / ss for v in g) for g in gt]
