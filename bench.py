@@ -32,17 +32,21 @@ two-plus orders of magnitude faster on production PCIe hosts.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 TARGET_FPS = 250.0  # BASELINE.json north-star: >=250 fps/chip @ 720p
-T_SHOT = 128        # frames per benched shot
-H, W = 720, 1280
+# PYV_BENCH_SMOKE=1: tiny shapes for a fast correctness pass of the whole
+# bench program (CPU-runnable); numbers are meaningless in smoke mode
+_SMOKE = os.environ.get("PYV_BENCH_SMOKE") == "1"
+T_SHOT = 16 if _SMOKE else 128   # frames per benched shot
+H, W = (240, 320) if _SMOKE else (720, 1280)
 DETECT_EVERY = 5    # detection every 5 frames (reference --every 0.2 @25fps)
 N_SLOTS = 16        # tracker slots
-WARMUP = 2
-ITERS = 4
+WARMUP = 0 if _SMOKE else 2
+ITERS = 1 if _SMOKE else 4
 
 
 def _sync(x):
@@ -111,9 +115,10 @@ def _roofline_entry(flops, bytes_, seconds, peaks):
     return out
 
 
-E2E_BATCH = 64      # frames per streamed device batch
-E2E_FRAMES = 768    # ≥30 s of 720p content (768 @ 25 fps = 30.7 s)
-_CLIP_PATH = "/tmp/pyannote_bench_720p_v1.avi"
+E2E_BATCH = 8 if _SMOKE else 64   # frames per streamed device batch
+E2E_FRAMES = 48 if _SMOKE else 768  # ≥30 s of 720p content (768 @ 25 fps)
+_CLIP_PATH = ("/tmp/pyannote_bench_smoke_v1.avi" if _SMOKE
+              else "/tmp/pyannote_bench_720p_v1.avi")
 
 
 def _ensure_clip() -> str:
@@ -130,8 +135,10 @@ def _ensure_clip() -> str:
         return _CLIP_PATH
     from pyannote_video_tpu.utils.synthetic import synthetic_episode
 
-    ep = synthetic_episode(n_shots=12, shot_frames=E2E_FRAMES // 12,
-                           width=640, height=360, n_identities=6,
+    ep = synthetic_episode(n_shots=6 if _SMOKE else 12,
+                           shot_frames=E2E_FRAMES // (6 if _SMOKE else 12),
+                           width=W if _SMOKE else 640,
+                           height=H if _SMOKE else 360, n_identities=6,
                            faces_per_shot=1, seed=7)
     tmp = _CLIP_PATH + ".tmp.avi"   # cv2 infers the container from the ext
     writer = cv2.VideoWriter(tmp, cv2.VideoWriter_fourcc(*"MJPG"),
