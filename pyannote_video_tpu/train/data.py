@@ -99,14 +99,35 @@ def _draw_clutter(bg: np.ndarray, rng: np.random.Generator,
         wave = np.sin((gx * np.cos(theta) + gy * np.sin(theta)) * freq)
         m = rr <= 1.0
         region[m & (wave > 0)] = color
-    # optional dark spots on the object (0-5, random placement/size)
-    for _ in range(int(rng.integers(0, 6))):
-        sr = rng.uniform(0.04, 0.18) * size
-        sx = cx + rng.uniform(-0.7, 0.7) * half
-        sy = cy + rng.uniform(-0.7, 0.7) * half
-        sgy, sgx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
+    # dark spots on the object: random scatter, or (p=0.3) a STRUCTURED
+    # pattern — a symmetric pair plus optionally one below, the geometric
+    # signature a face detector keys on.  Marks in an eyes(+mouth)
+    # arrangement on a non-face object are the hardest negative family
+    # (dial faces, speaker grilles, button panels); without them the
+    # detector accepts "two dark dots over one" regardless of texture.
+    sgy, sgx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
+
+    def spot(sx, sy, sr):
         sm = (sgx - sx) ** 2 + (sgy - sy) ** 2 <= sr ** 2
         region[sm] = rng.uniform(0, 70, size=3)
+
+    if rng.random() < 0.3:
+        dx = rng.uniform(0.25, 0.5) * half
+        dy = rng.uniform(0.15, 0.45) * half
+        sr = rng.uniform(0.05, 0.14) * size
+        ang = rng.uniform(-0.35, 0.35)  # slight pattern roll
+        ca, sa = np.cos(ang), np.sin(ang)
+        spot(cx - dx * ca, cy - dy - dx * sa, sr)
+        spot(cx + dx * ca, cy - dy + dx * sa, sr)
+        if rng.random() < 0.7:  # the "mouth" mark
+            spot(cx + rng.uniform(-0.1, 0.1) * half,
+                 cy + rng.uniform(0.25, 0.55) * half,
+                 sr * rng.uniform(0.8, 1.6))
+    else:
+        for _ in range(int(rng.integers(0, 6))):
+            spot(cx + rng.uniform(-0.7, 0.7) * half,
+                 cy + rng.uniform(-0.7, 0.7) * half,
+                 rng.uniform(0.04, 0.18) * size)
 
 
 def _photometric_aug(bg: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -170,18 +191,18 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
         # face-like decoy negatives: skin-tone ellipses WITHOUT facial
         # structure, so the detector must key on eyes/mouth geometry
         # rather than "skin blob on texture"
-        if rng.random() < 0.5:
+        if rng.random() < 0.7:
             decoy = FaceParams.random(rng)
             decoy = replace(decoy, eye_r=0.0, mouth_w=0.0, nose_len=0.2)
-            dh = WINDOW * ss * rng.uniform(0.8, 1.3)
+            dh = min(WINDOW * ss * rng.uniform(0.8, 2.0), cw / 2.0 - 2)
             dcx = rng.uniform(dh, cw - dh)
             dcy = rng.uniform(dh / 2, ch - dh / 2)
             render_face(bg, dcx, dcy, dh, decoy)
         # generic clutter negatives: discs/rings/blobs/gratings with
         # random dark spots — compact face-SIZED objects that are not
         # faces (see `_draw_clutter`)
-        for _ in range(int(rng.integers(0, 3))):
-            _draw_clutter(bg, rng, WINDOW * ss * rng.uniform(0.7, 1.5))
+        for _ in range(int(rng.integers(0, 4))):
+            _draw_clutter(bg, rng, WINDOW * ss * rng.uniform(0.7, 2.0))
         n_faces = rng.integers(0, 3) if rng.random() < p_face else 0
         for _ in range(n_faces):
             params = FaceParams.random(rng)
