@@ -24,11 +24,12 @@ from ..models.landmarks import N_POINTS
 # cascade hyper-parameters (reduced from dlib's 10×500×depth-4 to keep the
 # committed weight file small; pose-augmented training needs more capacity
 # than the upright-only round-2 cascade — 10×128 holds landmark error flat
-# across ±28° roll where 8×96 saturated)
-N_STAGES = 10
-N_TREES = 128
+# across ±28° roll where 8×96 saturated; 12×160 pool 288 buys a
+# further ~10% error on the posed/held-out domains at +60% weight size)
+N_STAGES = 12
+N_TREES = 160
 DEPTH = 3
-POOL = 256
+POOL = 288
 N_CANDIDATES = 24
 LEARNING_RATE = 0.1
 LAMBDA_DIST = 0.1  # exp(-dist/lambda) prior for picking close pixel pairs
