@@ -478,3 +478,43 @@ class TestTrainData:
         # comfortable slack around the 0.6 operating point
         assert d[same].max() < 0.5, d[same].max()
         assert d[diff].mean() > 0.8, d[diff].mean()
+
+
+class TestDetectorHeldOut:
+    def test_bc_domain_recall_and_precision_at_threshold(self):
+        # Regression guard for the held-out-domain operating point: on a
+        # pose+photometric-shifted episode (domain BC — ranges the
+        # trainers never sample, utils/synthetic_shift.py), every face on
+        # a spread of detection frames must score >= DEFAULT_THRESHOLD,
+        # and nothing off-face may reach it.  Guards the train/serve
+        # resample match (chained-pyramid downscale) and the threshold
+        # calibration (evals/probe_detector.py).
+        from pyannote_video_tpu.models.detector import FaceDetector
+        from pyannote_video_tpu.ops.boxes import nms
+        from pyannote_video_tpu.utils.synthetic import synthetic_episode
+        from pyannote_video_tpu.utils.synthetic_shift import domain_hooks
+
+        det = FaceDetector()
+        ep = synthetic_episode(n_shots=6, shot_frames=4, width=480,
+                               height=360, n_identities=3, seed=101,
+                               **domain_hooks("BC"))
+        frames = ep.frames[::4]  # first frame of each shot
+        scores_j, boxes_j = det._pyramid_fn(360, 480)(
+            det.params, jnp.asarray(frames.astype(np.float32)))
+        scores, boxes = np.asarray(scores_j), np.asarray(boxes_j)
+        for k in range(len(frames)):
+            gt = [f.box for f in ep.faces_at(k * 4)]
+            m = scores[k] > det.threshold
+            cb, cs = boxes[k][m], scores[k][m]
+            keep = nms(cb, cs, iou_threshold=det.nms_iou) if len(cb) else []
+            found = [False] * len(gt)
+            for j in keep:
+                bc = ((cb[j][0] + cb[j][2]) / 2, (cb[j][1] + cb[j][3]) / 2)
+                hit = False
+                for gi, g in enumerate(gt):
+                    if g[0] <= bc[0] <= g[2] and g[1] <= bc[1] <= g[3]:
+                        found[gi] = hit = True
+                assert hit, (
+                    f"frame {k}: off-face candidate at {bc} "
+                    f"scored {cs[j]:.2f} >= threshold")
+            assert all(found), f"frame {k}: missed face(s) {found}"
