@@ -48,13 +48,14 @@ TOPK = 16            # candidates per level per frame
 # detection logit threshold, calibrated on the chained-pyramid fine-tuned
 # weights (evals/probe_detector.py, domains A/B/C/BC): real faces score
 # >= 7.1 on seeds 101/202/303 (A min 11.1, B 8.4, C 9.8, BC 7.1 — zero
-# misses even at 0.5); decoy distractors reach 4.1-4.7 in the worst
-# photometric episodes.  4.5 excludes every observed distractor while
-# keeping a 1.6x margin below the weakest real face.  Tail behaviour over
-# wider seed sweeps (404-707): occasional BC faces down to 1.7 and decoys
-# to 4.7 — the tails overlap, so no threshold is perfect at this
-# capacity; the every-5-frames detection cadence + fwd/bwd DSST bridging
-# recovers isolated per-frame misses at track level.
+# misses even at 0.5); the worst distractor on those seeds scores 4.1
+# (a photometric-domain decoy).  4.5 excludes every distractor observed
+# on the calibration seeds while keeping a 1.6x margin below the weakest
+# real face.  Tail behaviour over WIDER seed sweeps (404-707): occasional
+# BC faces down to 1.7 and decoys up to 4.7 — those tails overlap, so no
+# threshold is perfect at this capacity; the every-5-frames detection
+# cadence + fwd/bwd DSST bridging recovers isolated per-frame misses at
+# track level.
 DEFAULT_THRESHOLD = 4.5
 
 

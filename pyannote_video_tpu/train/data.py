@@ -69,7 +69,7 @@ def _draw_clutter(bg: np.ndarray, rng: np.random.Generator,
     eye/mouth configuration is present.
     """
     h, w = bg.shape[:2]
-    half = size / 2.0
+    half = min(size, min(h, w) - 4.0) / 2.0  # keep placement range valid
     cx = float(rng.uniform(half, w - half))
     cy = float(rng.uniform(half, h - half))
     x0, x1 = int(max(0, cx - half - 1)), int(min(w, cx + half + 2))
@@ -105,10 +105,8 @@ def _draw_clutter(bg: np.ndarray, rng: np.random.Generator,
     # arrangement on a non-face object are the hardest negative family
     # (dial faces, speaker grilles, button panels); without them the
     # detector accepts "two dark dots over one" regardless of texture.
-    sgy, sgx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
-
     def spot(sx, sy, sr):
-        sm = (sgx - sx) ** 2 + (sgy - sy) ** 2 <= sr ** 2
+        sm = (gx - sx) ** 2 + (gy - sy) ** 2 <= sr ** 2
         region[sm] = rng.uniform(0, 70, size=3)
 
     if rng.random() < 0.3:
@@ -194,7 +192,8 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
         if rng.random() < 0.7:
             decoy = FaceParams.random(rng)
             decoy = replace(decoy, eye_r=0.0, mouth_w=0.0, nose_len=0.2)
-            dh = min(WINDOW * ss * rng.uniform(0.8, 2.0), cw / 2.0 - 2)
+            dh = min(WINDOW * ss * rng.uniform(0.8, 2.0),
+                     min(cw, ch) / 2.0 - 2)
             dcx = rng.uniform(dh, cw - dh)
             dcy = rng.uniform(dh / 2, ch - dh / 2)
             render_face(bg, dcx, dcy, dh, decoy)

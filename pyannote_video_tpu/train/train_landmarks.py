@@ -25,7 +25,7 @@ from ..models.landmarks import N_POINTS
 # committed weight file small; pose-augmented training needs more capacity
 # than the upright-only round-2 cascade — 10×128 holds landmark error flat
 # across ±28° roll where 8×96 saturated; 12×160 pool 288 buys a
-# further ~10% error on the posed/held-out domains at +60% weight size)
+# further ~25% error on the posed/held-out domains at +50% weight size)
 N_STAGES = 12
 N_TREES = 160
 DEPTH = 3

@@ -490,31 +490,23 @@ class TestDetectorHeldOut:
         # resample match (chained-pyramid downscale) and the threshold
         # calibration (evals/probe_detector.py).
         from pyannote_video_tpu.models.detector import FaceDetector
-        from pyannote_video_tpu.ops.boxes import nms
         from pyannote_video_tpu.utils.synthetic import synthetic_episode
         from pyannote_video_tpu.utils.synthetic_shift import domain_hooks
 
-        det = FaceDetector()
+        det = FaceDetector()  # packaged weights, DEFAULT_THRESHOLD
         ep = synthetic_episode(n_shots=6, shot_frames=4, width=480,
                                height=360, n_identities=3, seed=101,
                                **domain_hooks("BC"))
         frames = ep.frames[::4]  # first frame of each shot
-        scores_j, boxes_j = det._pyramid_fn(360, 480)(
-            det.params, jnp.asarray(frames.astype(np.float32)))
-        scores, boxes = np.asarray(scores_j), np.asarray(boxes_j)
-        for k in range(len(frames)):
+        per_frame = det.detect_batch(frames)  # the tracking-engine entry
+        for k, boxes in enumerate(per_frame):
             gt = [f.box for f in ep.faces_at(k * 4)]
-            m = scores[k] > det.threshold
-            cb, cs = boxes[k][m], scores[k][m]
-            keep = nms(cb, cs, iou_threshold=det.nms_iou) if len(cb) else []
             found = [False] * len(gt)
-            for j in keep:
-                bc = ((cb[j][0] + cb[j][2]) / 2, (cb[j][1] + cb[j][3]) / 2)
+            for b in boxes:
+                bc = ((b[0] + b[2]) / 2, (b[1] + b[3]) / 2)
                 hit = False
                 for gi, g in enumerate(gt):
                     if g[0] <= bc[0] <= g[2] and g[1] <= bc[1] <= g[3]:
                         found[gi] = hit = True
-                assert hit, (
-                    f"frame {k}: off-face candidate at {bc} "
-                    f"scored {cs[j]:.2f} >= threshold")
+                assert hit, f"frame {k}: off-face detection at {bc}"
             assert all(found), f"frame {k}: missed face(s) {found}"
