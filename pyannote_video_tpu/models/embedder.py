@@ -13,9 +13,9 @@ TPU-native implementation of the network behind
     → global avg pool → fc(128, no bias)
 
 on 150×150 aligned face chips, producing 128-d embeddings.  A ``width``
-multiplier scales all channel counts (the committed synthetic-trained
-weights use a reduced width; full width matches dlib for future .dat
-conversion).
+multiplier scales all channel counts; the packaged synthetic-trained
+weights use the FULL dlib width (stem 32, fc 256→128, ~5.6M params), so
+`.dat`-converted dlib weights drop in with no shape changes.
 
 The whole network is one jitted program over the chip batch; bfloat16
 compute on the MXU with float32 accumulation.

@@ -527,35 +527,6 @@ PACK_DET = 7             # detection index at this frame (-1 if none)
 PACK_WIDTH = 8
 
 
-def _greedy_match(overlap: jnp.ndarray) -> jnp.ndarray:
-    """Greedy maximum-overlap one-to-one matching on device.
-
-    overlap [N, D] (zeros = gated out / invalid) → match_slot [D] int32
-    (slot per detection, -1 unmatched).  The reference runs Hungarian
-    (`tracking.py:159-182`); greedy-by-max picks identical pairs whenever
-    matches are unambiguous (the tracking regime — boxes either overlap
-    their own detection dominantly or not at all), and keeps the whole
-    shot's association inside the compiled scan.
-    """
-    N, D = overlap.shape
-    match_slot = jnp.full((D,), -1, dtype=jnp.int32)
-
-    def body(_, carry):
-        ov, match_slot = carry
-        flat = jnp.argmax(ov)
-        n = (flat // D).astype(jnp.int32)
-        d = (flat % D).astype(jnp.int32)
-        ok = ov.reshape(-1)[flat] > 0.0
-        match_slot = jnp.where(ok, match_slot.at[d].set(n), match_slot)
-        cleared = ov.at[n, :].set(0.0).at[:, d].set(0.0)
-        ov = jnp.where(ok, cleared, ov)
-        return ov, match_slot
-
-    _, match_slot = jax.lax.fori_loop(0, min(N, D), body,
-                                      (overlap, match_slot))
-    return match_slot
-
-
 def _optimal_match(overlap: jnp.ndarray) -> jnp.ndarray:
     """Exact maximum-total-overlap one-to-one matching on device.
 
@@ -706,73 +677,45 @@ def _jv_match(overlap: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ok, rows, -1)
 
 
-def _select_slots(mask: jnp.ndarray, a: TrackState,
-                  b: TrackState) -> TrackState:
-    """Per-slot select between two states (mask [N] bool: True → a)."""
-
-    def sel(x, y):
-        m = mask.reshape(mask.shape + (1,) * (x.ndim - 1))
-        return jnp.where(m, x, y)
-
-    return TrackState(*(sel(x, y) for x, y in zip(a, b)))
-
-
-def lane_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
+def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
               grays: jnp.ndarray, frame_valid: jnp.ndarray,
               det_boxes: jnp.ndarray, det_valid: jnp.ndarray,
-              min_confidence, min_overlap_ratio, dup_containment,
-              n_lanes: int = 1):
-    """Tracking over a whole shot in one dispatch, L lanes at a time.
+              min_confidence, min_overlap_ratio, dup_containment):
+    """Tracking over a whole shot in ONE compiled dispatch.
 
     The reference's per-frame Python loop (detect → Hungarian associate →
     per-tracker update, `tracking.py:184-259`) becomes a single compiled
     ``lax.scan``: every frame advances all tracker slots (batched DSST),
-    detection frames run gated greedy association, kill matched trackers,
-    restart them from their detections (continuing the same track uid) and
-    spawn new tracks for unmatched detections — the host reads back ONE
-    packed array per shot and only rebuilds track lists.
-
-    A *lane* is an independent tracking stream with its own frame sequence
-    and detections; lanes share each scan iteration's batched DSST math
-    (one patch-extraction + FFT batch over all L·N slots), amortising the
-    per-iteration fixed cost.  NOTE: the live pipeline does NOT use L>1 —
-    `pipeline/tracking.py` deliberately dispatches the forward and
-    backward passes as two single-lane scans back-to-back (measured 20%
-    faster than one 2-lane dispatch: per-lane state slice/update traffic
-    in the scan body outweighs the batching gain).  The L>1 path remains
-    for multi-shot batching experiments and is covered by tests.
+    detection frames run exact optimal association on device
+    (`_optimal_match`), kill matched trackers, restart them from their
+    detections (continuing the same track uid) and spawn new tracks for
+    unmatched detections — the host reads back ONE packed array per shot
+    and only rebuilds track lists.
 
     Parameters
     ----------
-    state, uid, next_uid : L·N tracker slots (slot s belongs to lane
-        s // N) and the shared fresh-uid counter (uids stay globally
-        unique, so the host can bucket by uid across lanes).
-    grays : [T, L, H, W] float32 (each lane already time-ordered).
-    frame_valid : [T, L] bool — padding frames (shape bucketing) freeze
-        their lane.
-    det_boxes : [T, L, D, 4] float32, det_valid : [T, L, D] bool.
+    state, uid, next_uid : N tracker slots and the fresh-uid counter.
+    grays : [T, H, W] float32 (time-ordered; the caller flips for the
+        backward pass).
+    frame_valid : [T] bool — padding frames (shape bucketing) are skipped.
+    det_boxes : [T, D, 4] float32, det_valid : [T, D] bool.
     min_overlap_ratio : the association gate (`tracking.py:129-134`).
     dup_containment : suppress spawning a new track for an unmatched
         detection whose containment overlap (intersection / min area) with
         a surviving tracker exceeds this — otherwise alignment jitter
         around the gate spawns duplicate parallel tracks (the reference
         inherits this failure mode; we fix it at association time).
-    n_lanes : static lane count L.
 
     Returns
     -------
-    (state, uid, next_uid), packed [T, L·N, PACK_WIDTH], dropped [T, L]
-        ``dropped[t, l]`` counts detections that found no free slot (host
+    (state, uid, next_uid), packed [T, N, PACK_WIDTH], dropped [T]
+        ``dropped[t]`` counts detections that found no free slot (host
         retries the shot with a bigger slot bucket).
     """
     from .boxes import gated_overlap, overlap_min_ratio
 
-    L = n_lanes
-    LN = state.alive.shape[0]
-    if LN % L:
-        raise ValueError(f"{LN} slots not divisible by {L} lanes")
-    N = LN // L
-    slot_frame = jnp.repeat(jnp.arange(L, dtype=jnp.int32), N)
+    N = state.alive.shape[0]
+    slot_frame = jnp.zeros((N,), dtype=jnp.int32)
 
     def det_branch(op):
         st, uid, next_uid, gray, dboxes, dvalid, tboxes = op
@@ -840,26 +783,18 @@ def lane_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
                 slot_abs, abs_det, dropped)
 
     def frame_body(op):
-        st, uid, next_uid, images, f_valid, dboxes, dvalid = op
+        st, uid, next_uid, image, dboxes, dvalid = op
         alive_before = st.alive
-        st2, tboxes, conf = _step_core(st, images, slot_frame, min_confidence)
-        if L == 1:
-            # the frame-level cond already guards whole-frame validity;
-            # per-slot passthrough selects would only add state traffic
-            st = st2
-            tracked = alive_before & (conf >= min_confidence)
-        else:
-            # lanes whose frame is padding freeze (passthrough, no points)
-            fv_slot = f_valid[slot_frame]
-            st = _select_slots(fv_slot, st2, st)
-            conf = jnp.where(fv_slot, conf, -jnp.inf)
-            tracked = alive_before & (conf >= min_confidence) & fv_slot
-
-        lane_out = []
+        st2, tboxes, conf = _step_core(st, image[None], slot_frame,
+                                       min_confidence)
+        # the frame-level cond already guards whole-frame validity;
+        # per-slot passthrough selects would only add state traffic
+        st = st2
+        tracked = alive_before & (conf >= min_confidence)
 
         def no_dets(op2):
-            sub, uid_l, next_uid = op2[0], op2[1], op2[2]
-            return (sub, uid_l, next_uid,
+            sub, uid0, next_uid = op2[0], op2[1], op2[2]
+            return (sub, uid0, next_uid,
                     jnp.zeros((N,), dtype=bool),
                     jnp.zeros((N,), dtype=jnp.int32),
                     jnp.zeros((N, 4), dtype=jnp.float32),
@@ -867,39 +802,11 @@ def lane_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
                     jnp.zeros((N,), dtype=jnp.int32),
                     jnp.int32(0))
 
-        def lane_slice(f, l):
-            return f if L == 1 else f[l * N:(l + 1) * N]
-
-        for l in range(L):                      # static unroll over lanes
-            sub = (st if L == 1
-                   else TrackState(*(f[l * N:(l + 1) * N] for f in st)))
-            uid_l = lane_slice(uid, l)
-            dv_l = dvalid[l] & f_valid[l]
-            (sub, uid_l, next_uid, has_det_l, det_slot_l, boxes_l,
-             abs_l, absdet_l, dropped_l) = jax.lax.cond(
-                jnp.any(dv_l), det_branch, no_dets,
-                (sub, uid_l, next_uid, images[l], dboxes[l], dv_l,
-                 lane_slice(tboxes, l)),
-            )
-            lane_out.append((sub, uid_l, has_det_l, det_slot_l, boxes_l,
-                             abs_l, absdet_l, dropped_l))
-
-        if L == 1:
-            (st, uid, slot_has_det, det_for_slot, slot_boxes,
-             slot_abs, abs_det, dropped_0) = lane_out[0]
-            dropped = [dropped_0]
-        else:
-            st = TrackState(*(
-                jnp.concatenate([lo[0][i] for lo in lane_out])
-                for i in range(len(st))
-            ))
-            uid = jnp.concatenate([lo[1] for lo in lane_out])
-            slot_has_det = jnp.concatenate([lo[2] for lo in lane_out])
-            det_for_slot = jnp.concatenate([lo[3] for lo in lane_out])
-            slot_boxes = jnp.concatenate([lo[4] for lo in lane_out])
-            slot_abs = jnp.concatenate([lo[5] for lo in lane_out])
-            abs_det = jnp.concatenate([lo[6] for lo in lane_out])
-            dropped = [lo[7] for lo in lane_out]
+        (st, uid, next_uid, slot_has_det, det_for_slot, slot_boxes,
+         slot_abs, abs_det, dropped) = jax.lax.cond(
+            jnp.any(dvalid), det_branch, no_dets,
+            (st, uid, next_uid, image, dboxes, dvalid, tboxes),
+        )
 
         out_box = jnp.where(slot_has_det[:, None], slot_boxes, tboxes)
         out_status = jnp.where(slot_has_det, 2.0,
@@ -911,24 +818,22 @@ def lane_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
             [out_box, conf[:, None], out_status[:, None],
              uid.astype(jnp.float32)[:, None], out_det[:, None]], axis=1,
         )
-        return (st, uid, next_uid), packed, jnp.stack(dropped)
+        return (st, uid, next_uid), packed, dropped
 
     def body(carry, inp):
         st, uid, next_uid = carry
-        images, f_valid, dboxes, dvalid = inp
+        image, f_valid, dboxes, dvalid = inp
 
         def run(_):
-            return frame_body((st, uid, next_uid, images, f_valid,
-                               dboxes, dvalid))
+            return frame_body((st, uid, next_uid, image,
+                               dboxes, dvalid & f_valid))
 
         def skip(_):
             return ((st, uid, next_uid),
-                    jnp.zeros((LN, PACK_WIDTH), dtype=jnp.float32),
-                    jnp.zeros((L,), dtype=jnp.int32))
+                    jnp.zeros((N, PACK_WIDTH), dtype=jnp.float32),
+                    jnp.int32(0))
 
-        carry2, packed, dropped = jax.lax.cond(
-            jnp.any(f_valid), run, skip, None
-        )
+        carry2, packed, dropped = jax.lax.cond(f_valid, run, skip, None)
         return carry2, (packed, dropped)
 
     (state, uid, next_uid), (packed, dropped) = jax.lax.scan(
@@ -936,28 +841,6 @@ def lane_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
         (grays, frame_valid, det_boxes, det_valid),
     )
     return (state, uid, next_uid), packed, dropped
-
-
-lane_scan_jit = jax.jit(lane_scan, static_argnames=("n_lanes",))
-
-
-def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
-              grays: jnp.ndarray, frame_valid: jnp.ndarray,
-              det_boxes: jnp.ndarray, det_valid: jnp.ndarray,
-              min_confidence, min_overlap_ratio, dup_containment):
-    """Single-lane convenience wrapper over ``lane_scan``.
-
-    grays [T, H, W], frame_valid [T], det_boxes [T, D, 4], det_valid
-    [T, D] → ((state, uid, next_uid), packed [T, N, PACK_WIDTH],
-    dropped [T]).
-    """
-    carry, packed, dropped = lane_scan(
-        state, uid, next_uid,
-        grays[:, None], frame_valid[:, None],
-        det_boxes[:, None], det_valid[:, None],
-        min_confidence, min_overlap_ratio, dup_containment, n_lanes=1,
-    )
-    return carry, packed, dropped[:, 0]
 
 
 shot_scan_jit = jax.jit(shot_scan)

@@ -5,10 +5,11 @@ outputs and defaults but a TPU-first execution model:
 
 * the reference updates one C++ tracker object per face per frame in a
   Python loop (`tracking.py:199-206`); here ALL trackers of a shot live in
-  fixed device slots and an ENTIRE directional pass — DSST updates, gated
-  greedy association (device counterpart of the reference's Hungarian,
-  `tracking.py:136-182`), tracker restarts and new-track spawning — runs
-  as ONE compiled ``lax.scan`` dispatch (`ops/dsst.py:shot_scan`);
+  fixed device slots and an ENTIRE directional pass — DSST updates, exact
+  optimal association on device (same objective as the reference's
+  Hungarian, `tracking.py:136-182`; `ops/dsst.py:_optimal_match`), tracker
+  restarts and new-track spawning — runs as ONE compiled ``lax.scan``
+  dispatch (`ops/dsst.py:shot_scan`);
 * detections run batched over the shot's detection frames
   (`models/detector.py:detect_batch`) instead of per-frame calls
   (`tracking.py:425-427`);
@@ -212,13 +213,14 @@ class TrackingByDetection:
                       ) -> Tuple[List[_Track], List[_Track]]:
         """Both directional passes over a shot — one device dispatch each.
 
-        Each pass (batched DSST steps, gated greedy association, tracker
-        restarts, new-track spawning) runs as a single compiled
-        ``lax.scan`` (`ops/dsst.py:shot_scan`); the backward pass sees the
-        frames and detections reversed.  (Running both as lanes of ONE
-        dispatch was measured 20% slower at 720p — the per-lane state
-        slice/update traffic in the scan body outweighs the batching
-        gain — so two single-lane dispatches it is.)  The host reads back
+        Each pass (batched DSST steps, exact optimal association on
+        device, tracker restarts, new-track spawning) runs as a single
+        compiled ``lax.scan`` (`ops/dsst.py:shot_scan`); the backward pass
+        sees the frames and detections reversed.  (Fusing both directions
+        into one multi-lane dispatch was measured 20% slower at 720p —
+        per-lane state slice/update traffic in the scan body outweighed
+        the batching gain — so two single-lane dispatches it is; the lane
+        mechanism itself was removed in round 4.)  The host reads back
         one packed [T, N, 8] array per pass and rebuilds per-direction
         track lists from the emitted (box, status, uid, det-index) stream.
         Shapes are bucketed (frame count to powers of two with a validity

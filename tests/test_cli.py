@@ -72,6 +72,7 @@ class TestStructureCli:
 
 @pytest.mark.skipif(not DETECTOR_FILE.exists(), reason="no trained weights")
 class TestFaceCli:
+    @pytest.mark.slow
     def test_track_extract_demo_chain(self, clip, tmp_path):
         path, ep = clip
         shot_json = str(tmp_path / "shot.json")

@@ -42,6 +42,7 @@ def episode():
 
 
 class TestDetector:
+    @pytest.mark.slow
     def test_forward_shapes(self):
         p = det.init_params(jax.random.PRNGKey(0))
         maps, _ = det.forward_maps(p, jnp.zeros((2, 64, 64, 3)))
@@ -138,6 +139,7 @@ class TestChip:
 
 
 class TestEmbedder:
+    @pytest.mark.slow
     def test_forward_shape_and_determinism(self):
         p = emb.init_params(jax.random.PRNGKey(0), width=0.25)
         chips = jnp.asarray(
@@ -204,6 +206,7 @@ class TestLandmarks:
 
 class TestFused:
     @pytest.mark.skipif(not DETECTOR_FILE.exists(), reason="no trained weights")
+    @pytest.mark.slow
     def test_fused_pipeline_end_to_end(self, episode):
         from pyannote_video_tpu.models.fused import FusedFacePipeline
 
@@ -256,6 +259,8 @@ class TestDlibConvert:
             assert r.read_float() == np.float32(v)
         assert r.read_string() == "shape_predictor"
         np.testing.assert_array_equal(r.read_matrix(), mat)
+
+    @pytest.mark.slow
 
     def test_shape_predictor_roundtrip(self, tmp_path, episode):
         from pyannote_video_tpu.models.dlib_convert import (
@@ -481,6 +486,7 @@ class TestTrainData:
 
 
 class TestDetectorHeldOut:
+    @pytest.mark.slow
     def test_bc_domain_recall_and_precision_at_threshold(self):
         # Regression guard for the held-out-domain operating point: on a
         # pose+photometric-shifted episode (domain BC — ranges the

@@ -52,6 +52,7 @@ class TestDistributedInit:
 
 
 class TestWorkerShardedTracking:
+    @pytest.mark.slow
     def test_two_worker_track_matches_single(self, tmp_path):
         """2-worker shot-sharded `track` + merge == single-process output
         (same point set; track numbering is the deterministic merge

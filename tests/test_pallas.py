@@ -11,6 +11,7 @@ from pyannote_video_tpu.ops import dfd_pallas
 
 
 class TestPallasDFD:
+    @pytest.mark.slow
     def test_matches_xla_in_interpret_mode(self):
         from jax.experimental import pallas as pl
 
@@ -34,6 +35,8 @@ class TestPallasDFD:
         assert out.shape == ref.shape
         # block-mean via pooling matmuls vs reshape: tiny float drift only
         np.testing.assert_allclose(out, ref, rtol=5e-3, atol=0.2)
+
+    @pytest.mark.slow
 
     def test_non_block_multiple_width(self):
         # W=88 (not a multiple of block=5): the padded-frame VMEM block must

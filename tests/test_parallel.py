@@ -22,6 +22,8 @@ class TestMesh:
         with pytest.raises(ValueError):
             make_mesh(n_devices=7, model_parallelism=2)
 
+    @pytest.mark.slow
+
     def test_sharded_embed_runs(self):
         from pyannote_video_tpu.models import embedder
         from pyannote_video_tpu.parallel.sharding import sharded_embed_fn
@@ -38,6 +40,7 @@ class TestMesh:
 
 
 class TestDryrun:
+    @pytest.mark.slow
     def test_run_dryrun_in_process(self, capsys):
         # the test env already provides 8 virtual CPU devices (conftest),
         # so the driver-facing dryrun body runs in-process here
@@ -49,6 +52,8 @@ class TestDryrun:
         assert "dryrun[fused]" in out
         assert "dryrun[scheduler]" in out
         assert "OK" in out
+
+    @pytest.mark.slow
 
     def test_graft_entry_reexec_child(self):
         # simulate the driver: this parent cannot see 8 devices from the

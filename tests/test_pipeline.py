@@ -25,6 +25,7 @@ def iou_xyxy(a, b):
 
 class TestTracking:
     @needs_weights
+    @pytest.mark.slow
     def test_tracks_cover_synthetic_faces(self):
         from pyannote_video_tpu.pipeline.face_tracking import FaceTracking
 
@@ -87,6 +88,7 @@ class TestTracking:
             assert ts == sorted(ts)
 
     @needs_weights
+    @pytest.mark.slow
     def test_two_concurrent_faces(self):
         """Crossed Hungarian matches must not destroy tracks (regression:
         slot reassignment overwrote one matched track with the other)."""
@@ -165,6 +167,9 @@ class TestTracking:
         tracks = list(tracking(video, [Segment(0, 8 / 25.0)]))
         assert len(tracks) == 1
         assert len(tracks[0]) >= 6
+
+
+    @pytest.mark.slow
 
 
     def test_crowd_scene_grows_slot_bucket(self):
@@ -330,6 +335,8 @@ class TestThread:
         labels = [lab for _, _, lab in ann.itertracks(yield_label=True)]
         assert len(set(labels)) == 3
 
+    @pytest.mark.slow
+
     def test_match_counts_clear_threshold_with_margin(self):
         """Thread decisions must not sit at the min_match=20 boundary —
         a count that flaps with the execution backend flips thread F1
@@ -453,6 +460,7 @@ class TestClustering:
 @needs_weights
 @pytest.mark.skipif(not EMBEDDER_FILE.exists(), reason="no embedder weights")
 class TestFullChain:
+    @pytest.mark.slow
     def test_shot_track_embed_cluster(self, tmp_path):
         """The reference's standard pipeline (`pyannote-face.py:29-33`):
         shots → tracking → embeddings → clustering, chained via stage files.

@@ -212,6 +212,8 @@ class TestAssociation:
         match_slot = np.asarray(dsst._optimal_match(jnp.asarray(ov)))
         return [(int(n), d) for d, n in enumerate(match_slot) if n >= 0]
 
+    @pytest.mark.slow
+
     def test_matches_hungarian_on_random_matrices(self):
         rng = np.random.default_rng(17)
         for trial in range(60):
@@ -228,12 +230,12 @@ class TestAssociation:
     def test_crossing_near_tie_beats_greedy(self):
         # two crossing faces with near-equal mutual overlaps: the exact
         # case where greedy-by-max and Hungarian diverge (VERDICT missing
-        # #3).  Greedy takes (0,0)=0.5 and strands tracker 1; optimal
-        # keeps both tracks alive.
+        # #3).  Greedy-by-max takes (0,0)=0.5 then has nothing left for
+        # tracker 1 — recorded output [0, -1], one stranded track (the
+        # greedy matcher itself was removed from dsst.py in round 4; this
+        # matrix is the parity record).  Optimal keeps both tracks alive.
         ov = np.array([[0.50, 0.45],
                        [0.40, 0.00]], dtype=np.float32)
-        greedy = np.asarray(dsst._greedy_match(jnp.asarray(ov)))
-        assert list(greedy) == [0, -1]  # drops a match
         dev = self._device_pairs(ov)
         assert sorted(dev) == [(0, 1), (1, 0)]
         assert sorted(dev) == sorted(self._host_pairs(ov))
@@ -270,6 +272,8 @@ class TestAssociation:
         out = np.asarray(jax.jit(dsst._optimal_match)(jnp.asarray(ov)))
         assert out.shape == (8,)
         assert out[2] == 3 and (out[[0, 1, 3, 4, 5, 6, 7]] == -1).all()
+
+    @pytest.mark.slow
 
     def test_jv_match_wide_matrices(self):
         # D > 12 switches _optimal_match to the device Jonker-Volgenant
@@ -332,6 +336,8 @@ class TestDSSTScale:
             tracked = ((b[2] - b[0]) + (b[3] - b[1])) / 2.0
             ratios.append(tracked / gt[f])
         return np.asarray(ratios)
+
+    @pytest.mark.slow
 
     def test_tracks_slow_zoom_in(self):
         r = self._run_zoom(1.01, 48)
