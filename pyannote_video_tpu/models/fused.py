@@ -173,6 +173,41 @@ class FusedFacePipeline:
 
         return fused
 
+    def build_detect_only(self, H: int, W: int):
+        """Pyramid detection + device NMS as one jitted program — no
+        landmark/embedding tail.
+
+        ``(det_params, frames_u8 [B, H, W, 3]) → (boxes [B, M, 4],
+        scores [B, M], valid [B, M])``.  This is what the tracking stage
+        consumes (the reference's ``track`` command runs detection only,
+        `pyannote-face.py:239-269`; landmarks/embeddings are the
+        ``extract`` stage's per-track work).  The full fused program
+        would compute the ERT cascade + chip warp + ResNet-29 for all
+        ``max_faces`` slots of every detection frame — measured ~0.4 ms
+        per face slot, i.e. ~70% of the detect stage wasted when the
+        consumer only needs boxes.
+        """
+        scales = det.pyramid_scales(H, W, upsample=self.upsample)
+        level_dims = [
+            (max(det.STRIDE * 2, int(round(H * s))),
+             max(det.STRIDE * 2, int(round(W * s))), s)
+            for s in scales
+        ]
+        max_faces = self.max_faces
+        threshold = self.threshold
+        nms_iou = self.nms_iou
+
+        @jax.jit
+        def detect_only(det_params, frames_u8):
+            frames = frames_u8.astype(jnp.float32)
+            scores, boxes = det.pyramid_candidates(det_params, frames,
+                                                   level_dims)
+            scores = jnp.where(scores > threshold, scores, -jnp.inf)
+            nms_fn = lambda b, s: _device_nms(b, s, nms_iou, max_faces)
+            return jax.vmap(nms_fn)(boxes, scores)
+
+        return detect_only
+
     def __call__(self, frames: np.ndarray) -> FusedOutput:
         """frames [B, H, W, 3] uint8 → FusedOutput (device arrays)."""
         H, W = frames.shape[1], frames.shape[2]

@@ -44,12 +44,22 @@ PSR_WINDOW = 5         # half-size of the peak exclusion window for PSR
 # argmax over the translation response; sustained zoom (3%/frame) lagged
 # up to 15% behind ground truth.  This is the true DSST formulation: a
 # separate 1-D MOSSE filter over SCALE_N scale samples of the target,
-# trained/evaluated each frame — and the translation filter now runs at a
+# trained/evaluated each frame — and the translation filter runs at a
 # SINGLE scale (cheaper than the old 5-scale stack).
-SCALE_N = 33           # scale samples per frame
-SCALE_STEP = 1.02      # geometric spacing: factors SCALE_STEP**(n-16)
-SCALE_FEAT = 16        # each sample resized to 16×16 → 256 features
-SCALE_SIGMA = 1.5      # gaussian target sigma, in scale bins
+#
+# Dimensioned after fDSST (Danelljan's own accelerated DSST): the round-3
+# 33-sample × 16² -feature filter was 55% of the whole tracking scan's
+# device time (measured; the resample stacks dominate).  fDSST halves the
+# sample count and recovers sub-bin accuracy by interpolating the
+# response around its peak — here a parabolic (quadratic) fit over the
+# circular response, clipped to ±½ bin.  Together with 8²-px sample
+# features (64 dims — fDSST compresses to 17 by PCA; intensity features
+# need a little more) the scale stage costs ~4× less with the zoom
+# tracking error still inside the 10% test bound at 3%/frame zoom.
+SCALE_N = 17           # scale samples per frame (fDSST: 17 vs DSST's 33)
+SCALE_STEP = 1.02      # geometric spacing: factors SCALE_STEP**(n-8)
+SCALE_FEAT = 8         # each sample resized to 8×8 → 64 features
+SCALE_SIGMA = 1.0      # gaussian target sigma, in scale bins
 SCALE_ETA = 0.025      # scale-filter learning rate
 
 
@@ -136,7 +146,7 @@ _SCALE_SUPER = 48      # super-patch resolution for hierarchical sampling
 _STEP_SUPER = 128      # shared super-patch resolution inside _step_core
 
 
-def _super_patch(images: jnp.ndarray, frame_idx: jnp.ndarray,
+def _super_patch(imT: jnp.ndarray, H: int, W: int, frame_idx: jnp.ndarray,
                  pos: jnp.ndarray, region: jnp.ndarray,
                  res: int) -> jnp.ndarray:
     """One res² patch per slot covering ``region`` (h, w) centred at pos.
@@ -144,9 +154,11 @@ def _super_patch(images: jnp.ndarray, frame_idx: jnp.ndarray,
     The single frame-resolution structured access of a hierarchical
     sampling scheme; everything that needs sub-patches of the same
     neighbourhood resamples from this instead of touching the frame again.
-    Returns [N, res, res, 1] float32.
+    ``imT`` is the pre-transposed [T·W, H] gray stack
+    (`warp.transpose_for_chips`) — built ONCE per shot so the scan body
+    never re-materialises frame transposes.  Returns [N, res, res, 1] f32.
     """
-    from .warp import separable_resize_chips
+    from .warp import separable_resize_chips_t
 
     top = pos[:, 0] - region[:, 0] / 2.0
     left = pos[:, 1] - region[:, 1] / 2.0
@@ -155,8 +167,8 @@ def _super_patch(images: jnp.ndarray, frame_idx: jnp.ndarray,
         [jnp.stack([region[:, 1] / res, zeros, left], axis=-1),
          jnp.stack([zeros, region[:, 0] / res, top], axis=-1)],
         axis=-2)                                            # [N, 2, 3]
-    return separable_resize_chips(
-        images[..., None], frame_idx.astype(jnp.int32), mats, res, res)
+    return separable_resize_chips_t(
+        imT, H, W, 1, frame_idx.astype(jnp.int32), mats, res, res)
 
 
 def _resample_super(supers: jnp.ndarray, frac_h: jnp.ndarray,
@@ -198,7 +210,8 @@ def _scale_fft_from_samples(samples: jnp.ndarray) -> jnp.ndarray:
     return jnp.fft.rfft(feats.transpose(0, 2, 1), axis=-1)  # [N, DF, Sr]
 
 
-def _scale_feature_ffts(images: jnp.ndarray, frame_idx: jnp.ndarray,
+def _scale_feature_ffts(imT: jnp.ndarray, H: int, W: int,
+                        frame_idx: jnp.ndarray,
                         pos: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
     """Scale-sample feature FFTs: [N, DF, Sr] complex.
 
@@ -225,31 +238,33 @@ def _scale_feature_ffts(images: jnp.ndarray, frame_idx: jnp.ndarray,
     factors = _scale_factors()
     span = float(SCALE_STEP ** (SCALE_N // 2))  # largest relative sample
 
-    supers = _super_patch(images, frame_idx, pos, span * size, _SCALE_SUPER)
+    supers = _super_patch(imT, H, W, frame_idx, pos, span * size,
+                          _SCALE_SUPER)
     frac = jnp.tile((factors / span)[None, :], (N, 1))      # [N, S]
     samples = _resample_super(supers, frac, frac, SCALE_FEAT)
     return _scale_fft_from_samples(samples)
 
 
-def _scale_filter_init(images, frame_idx, pos, size):
+def _scale_filter_init(imT, H, W, frame_idx, pos, size):
     """(num complex [N, DF, Sr], den [N, Sr]) for fresh scale filters."""
-    F = _scale_feature_ffts(images, frame_idx, pos, size)
+    F = _scale_feature_ffts(imT, H, W, frame_idx, pos, size)
     Gs = _scale_target_fft()
     num = Gs[None, None, :] * jnp.conj(F)
     den = jnp.sum((F * jnp.conj(F)).real, axis=1)
     return num, den
 
 
-def _extract_patches(images: jnp.ndarray, frame_idx: jnp.ndarray,
+def _extract_patches(imT: jnp.ndarray, H: int, W: int,
+                     frame_idx: jnp.ndarray,
                      pos: jnp.ndarray, size: jnp.ndarray,
                      rel_scales: jnp.ndarray) -> jnp.ndarray:
     """Batched patch sampling: [N slots] × [S scales] → [N, S, P, P].
 
     Patch (n, s) covers ``PATCH_SCALE × size[n] × rel_scales[s]`` centred at
-    ``pos[n]`` in image ``frame_idx[n]`` (images [F, H, W] — multiple
-    source frames so independent tracking lanes batch into one extraction).
+    ``pos[n]`` in frame ``frame_idx[n]`` of the pre-transposed stack
+    ``imT`` ([T·W, H], `warp.transpose_for_chips`).
     Uses separable full-frame structured access
-    (`ops/warp.py:separable_resize_chips`) instead of per-pixel bilinear
+    (`ops/warp.py:separable_resize_chips_t`) instead of per-pixel bilinear
     gathers: on TPU, Mosaic lowers fused gathers to ~1 element/cycle scalar
     loops, which made patch extraction 84% of the tracking step
     (10 ms/frame at 720p, measured); the separable column/row-gather form
@@ -257,7 +272,7 @@ def _extract_patches(images: jnp.ndarray, frame_idx: jnp.ndarray,
     earlier ``dynamic_slice`` variant materialized (~60% of the remaining
     step time).  No patch size cap — any face size samples exactly.
     """
-    from .warp import separable_resize_chips
+    from .warp import separable_resize_chips_t
 
     N = pos.shape[0]
     S = rel_scales.shape[0]
@@ -273,7 +288,7 @@ def _extract_patches(images: jnp.ndarray, frame_idx: jnp.ndarray,
          jnp.stack([zeros, sy, top], axis=-1)], axis=-2,
     ).reshape(N * S, 2, 3)
     idx = jnp.repeat(frame_idx.astype(jnp.int32), S)
-    out = separable_resize_chips(images[..., None], idx, matrices, P, P)
+    out = separable_resize_chips_t(imT, H, W, 1, idx, matrices, P, P)
     return out[..., 0].reshape(N, S, P, P)
 
 
@@ -288,19 +303,21 @@ def _features(patch: jnp.ndarray, hann: jnp.ndarray) -> jnp.ndarray:
     return f * hann
 
 
-def _slot_ffts(images: jnp.ndarray, frame_idx: jnp.ndarray,
+def _slot_ffts(imT: jnp.ndarray, H: int, W: int, frame_idx: jnp.ndarray,
                pos: jnp.ndarray, size: jnp.ndarray,
                hann: jnp.ndarray) -> jnp.ndarray:
     """rfft2 of the scale-1 feature patch for every slot: [N, P, Pr]."""
     patches = _extract_patches(
-        images, frame_idx, pos, size, jnp.ones((1,), dtype=jnp.float32)
+        imT, H, W, frame_idx, pos, size, jnp.ones((1,), dtype=jnp.float32)
     )[:, 0]
     return jnp.fft.rfft2(_features(patches, hann))
 
 
-def _filter_init_from_boxes(gray: jnp.ndarray, boxes: jnp.ndarray):
+def _filter_init_from_boxes(imT: jnp.ndarray, H: int, W: int,
+                            frame_idx: jnp.ndarray, boxes: jnp.ndarray):
     """MOSSE filter initialisation for a batch of boxes on one frame.
 
+    ``frame_idx`` [M] names each box's frame in the pre-transposed stack.
     Returns (pos [M, 2], size [M, 2], num complex [M, P, Pr],
     den [M, P, Pr]) — shared by ``start_tracks`` (scatter into chosen
     slots) and ``restart_slots`` (full-width select) so the init math
@@ -318,11 +335,10 @@ def _filter_init_from_boxes(gray: jnp.ndarray, boxes: jnp.ndarray):
     )
     size = jnp.maximum(size, 4.0)
 
-    zero_idx = jnp.zeros((pos.shape[0],), dtype=jnp.int32)
-    F = _slot_ffts(gray[None], zero_idx, pos, size, hann)
+    F = _slot_ffts(imT, H, W, frame_idx, pos, size, hann)
     num = G[None] * jnp.conj(F)
     den = (F * jnp.conj(F)).real
-    s_num, s_den = _scale_filter_init(gray[None], zero_idx, pos, size)
+    s_num, s_den = _scale_filter_init(imT, H, W, frame_idx, pos, size)
     return pos, size, num, den, s_num, s_den
 
 
@@ -335,7 +351,13 @@ def start_tracks(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     slots [M] int32 target slot per box; mask [M] bool (padding rows off).
     Mirrors ``dlib.correlation_tracker().start_track`` (`tracking.py:250-251`).
     """
-    pos, size, num, den, s_num, s_den = _filter_init_from_boxes(gray, boxes)
+    from .warp import transpose_for_chips
+
+    H, W = gray.shape
+    imT = transpose_for_chips(gray[None, ..., None])
+    zero_idx = jnp.zeros((boxes.shape[0],), dtype=jnp.int32)
+    pos, size, num, den, s_num, s_den = _filter_init_from_boxes(
+        imT, H, W, zero_idx, boxes)
 
     def scatter(field, updates):
         safe = jnp.where(mask, slots, 0)
@@ -358,16 +380,20 @@ def start_tracks(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     )
 
 
-def restart_slots(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
+def restart_slots(state: TrackState, imT: jnp.ndarray, H: int, W: int,
+                  frame_idx: jnp.ndarray, boxes: jnp.ndarray,
                   mask: jnp.ndarray) -> TrackState:
     """Re-initialise EVERY masked slot from its box — select, not scatter.
 
-    boxes [N, 4] (one per slot), mask [N] bool.  Unlike ``start_tracks``
-    (M detections scattered into M slots), this full-width variant has no
-    duplicate-index scatter hazard, so it is safe inside vmapped/scanned
-    code where masked-off rows must leave their slots bit-identical.
+    imT: pre-transposed frame stack; frame_idx [N] the frame each slot
+    restarts from; boxes [N, 4] (one per slot), mask [N] bool.  Unlike
+    ``start_tracks`` (M detections scattered into M slots), this
+    full-width variant has no duplicate-index scatter hazard, so it is
+    safe inside vmapped/scanned code where masked-off rows must leave
+    their slots bit-identical.
     """
-    pos, size, num, den, s_num, s_den = _filter_init_from_boxes(gray, boxes)
+    pos, size, num, den, s_num, s_den = _filter_init_from_boxes(
+        imT, H, W, frame_idx, boxes)
 
     m1 = mask[:, None]
     m3 = mask[:, None, None]
@@ -384,11 +410,12 @@ def restart_slots(state: TrackState, gray: jnp.ndarray, boxes: jnp.ndarray,
     )
 
 
-def _step_core(state: TrackState, images: jnp.ndarray,
+def _step_core(state: TrackState, imT: jnp.ndarray, H: int, W: int,
                slot_frame: jnp.ndarray, min_confidence):
     """Advance ALL slots one frame (batched dlib ``update``).
 
-    images [F, H, W]; ``slot_frame[n]`` names the image slot n tracks in —
+    imT: pre-transposed frame stack (`warp.transpose_for_chips` of
+    [F, H, W, 1]); ``slot_frame[n]`` names the frame slot n tracks in —
     multiple independent lanes (forward/backward passes, parallel shots)
     advance in the same batched program.  Returns (new_state, boxes [N, 4],
     confidences [N]).  Slots whose PSR drops below ``min_confidence`` are
@@ -402,7 +429,7 @@ def _step_core(state: TrackState, images: jnp.ndarray,
     # filter below handles size, Danelljan's DSST split) ------------------
     # ALL slots sampled in one structured-access batch, the whole response
     # stack in two batched FFTs — no per-slot loops.
-    patches = _extract_patches(images, slot_frame, state.pos, state.size,
+    patches = _extract_patches(imT, H, W, slot_frame, state.pos, state.size,
                                jnp.ones((1,), dtype=jnp.float32))[:, 0]
     # NOTE: a DFT-as-matmul variant of this response (full 2-D DFT via
     # four [P, P] einsum chains on the MXU) was measured at device parity
@@ -447,7 +474,7 @@ def _step_core(state: TrackState, images: jnp.ndarray,
     # FFT, dominates the step (measured; see `_extract_patches` notes).
     span = float(SCALE_STEP ** (SCALE_N // 2))
     sup_region = (PATCH_SCALE * span) * state.size          # [N, 2]
-    supers = _super_patch(images, slot_frame, new_pos, sup_region,
+    supers = _super_patch(imT, H, W, slot_frame, new_pos, sup_region,
                           _STEP_SUPER)
     factors = _scale_factors()
 
@@ -461,10 +488,18 @@ def _step_core(state: TrackState, images: jnp.ndarray,
         jnp.sum(s_num * Fs, axis=1) / (state.s_den + LAMBDA), n=SCALE_N,
         axis=-1,
     )                                                      # [N, SCALE_N]
-    rel = factors[jnp.argmax(s_resp, axis=1)]              # [N]
+    # integer-bin argmax, like dlib's DSST.  (A parabolic sub-bin
+    # interpolation — fDSST's response refinement — was tried and reverted:
+    # on STATIC targets the fit's ±½-bin noise has no deadzone, so size
+    # random-walks ~1%/frame and long static tracks fragment; argmax
+    # quantisation is itself the deadzone.  17 bins at 1.02 spacing track
+    # the 3%/frame zoom tests inside the 10% bound without it.)
+    peak = jnp.argmax(s_resp, axis=1)                      # [N]
+    kbin = peak.astype(jnp.float32) - SCALE_N // 2
+    rel = jnp.float32(SCALE_STEP) ** kbin                  # [N]
     new_size = jnp.maximum(state.size * rel[:, None], 4.0)
 
-    # --- update both filters at the new position/size --------------------
+    # --- update both filters at the new position --------------------------
     frac_u = PATCH_SCALE * new_size / sup_region            # [N, 2]
     upd_patch = _resample_super(supers, frac_u[:, None, 0],
                                 frac_u[:, None, 1], P)[:, 0]
@@ -474,17 +509,23 @@ def _step_core(state: TrackState, images: jnp.ndarray,
     new_num_im = (1.0 - ETA) * state.num_im + ETA * upd.imag
     new_den = (1.0 - ETA) * state.den + ETA * (Fn * jnp.conj(Fn)).real
 
-    frac_sn = (factors[None, :, None] * new_size[:, None, :]
-               / sup_region[:, None, :])                    # [N, S, 2]
-    Fsn = _scale_fft_from_samples(
-        _resample_super(supers, frac_sn[..., 0], frac_sn[..., 1],
-                        SCALE_FEAT))
+    # the scale filter trains on the MEASUREMENT stack Fs (sampled around
+    # the previous size) instead of re-extracting a second stack at
+    # new_size — half the scale stage's resample+FFT cost (the resample
+    # stacks were the measured hot spot of the whole scan).  To train
+    # consistently, the Gaussian response target is circularly SHIFTED to
+    # the measured scale ``kbin`` (a phase ramp on its rfft): the filter
+    # learns "this stack's true scale sits kbin off centre", exactly what
+    # re-sampling at new_size and using a centred target would teach.
     Gs = _scale_target_fft()
-    s_upd = Gs[None, None, :] * jnp.conj(Fsn)
+    freqs = jnp.arange(_SCALE_SR, dtype=jnp.float32)
+    ang = (-2.0 * jnp.pi / SCALE_N) * kbin[:, None] * freqs[None, :]
+    shift = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))    # [N, Sr]
+    s_upd = (Gs[None, None, :] * shift[:, None, :]) * jnp.conj(Fs)
     new_s_num_re = (1.0 - SCALE_ETA) * state.s_num_re + SCALE_ETA * s_upd.real
     new_s_num_im = (1.0 - SCALE_ETA) * state.s_num_im + SCALE_ETA * s_upd.imag
     new_s_den = ((1.0 - SCALE_ETA) * state.s_den
-                 + SCALE_ETA * jnp.sum((Fsn * jnp.conj(Fsn)).real, axis=1))
+                 + SCALE_ETA * jnp.sum((Fs * jnp.conj(Fs)).real, axis=1))
 
     a1 = state.alive[:, None]
     a3 = state.alive[:, None, None]
@@ -511,8 +552,12 @@ def _step_core(state: TrackState, images: jnp.ndarray,
 def step(state: TrackState, gray: jnp.ndarray,
          min_confidence: float = 10.0) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """Single-frame convenience wrapper over ``_step_core``."""
+    from .warp import transpose_for_chips
+
+    H, W = gray.shape
+    imT = transpose_for_chips(gray[None, ..., None])
     slot_frame = jnp.zeros((state.alive.shape[0],), dtype=jnp.int32)
-    return _step_core(state, gray[None], slot_frame, min_confidence)
+    return _step_core(state, imT, H, W, slot_frame, min_confidence)
 
 
 # ---------------------------------------------------------------------------
@@ -713,12 +758,17 @@ def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
         retries the shot with a bigger slot bucket).
     """
     from .boxes import gated_overlap, overlap_min_ratio
+    from .warp import transpose_for_chips
 
     N = state.alive.shape[0]
-    slot_frame = jnp.zeros((N,), dtype=jnp.int32)
+    T, H, W = grays.shape
+    # ONE whole-shot transpose outside the scan: the per-frame extraction
+    # paths gather columns from this; slicing + transposing a frame per
+    # step cost ~15 MB/frame of HBM traffic at 720p (measured)
+    imT = transpose_for_chips(grays[..., None])
 
     def det_branch(op):
-        st, uid, next_uid, gray, dboxes, dvalid, tboxes = op
+        st, uid, next_uid, fidx, dboxes, dvalid, tboxes = op
         alive = st.alive
         ov = gated_overlap(tboxes, dboxes, min_overlap_ratio)
         ov = jnp.where(alive[:, None] & dvalid[None, :], ov, 0.0)
@@ -770,7 +820,9 @@ def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
         # slot's old filter dies and its detection re-seeds the same slot,
         # continuing the track uid
         slot_boxes = dboxes[det_for_slot]
-        st = restart_slots(st, gray, slot_boxes, slot_has_det)
+        st = restart_slots(st, imT, H, W,
+                           jnp.full((N,), fidx, dtype=jnp.int32),
+                           slot_boxes, slot_has_det)
 
         # absorbed-duplicate links (disjoint from restarted slots: the
         # suppressor is live and unmatched, restarts hit matched/free slots)
@@ -783,10 +835,11 @@ def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
                 slot_abs, abs_det, dropped)
 
     def frame_body(op):
-        st, uid, next_uid, image, dboxes, dvalid = op
+        st, uid, next_uid, fidx, dboxes, dvalid = op
         alive_before = st.alive
-        st2, tboxes, conf = _step_core(st, image[None], slot_frame,
-                                       min_confidence)
+        st2, tboxes, conf = _step_core(
+            st, imT, H, W, jnp.full((N,), fidx, dtype=jnp.int32),
+            min_confidence)
         # the frame-level cond already guards whole-frame validity;
         # per-slot passthrough selects would only add state traffic
         st = st2
@@ -805,7 +858,7 @@ def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
         (st, uid, next_uid, slot_has_det, det_for_slot, slot_boxes,
          slot_abs, abs_det, dropped) = jax.lax.cond(
             jnp.any(dvalid), det_branch, no_dets,
-            (st, uid, next_uid, image, dboxes, dvalid, tboxes),
+            (st, uid, next_uid, fidx, dboxes, dvalid, tboxes),
         )
 
         out_box = jnp.where(slot_has_det[:, None], slot_boxes, tboxes)
@@ -822,10 +875,10 @@ def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
 
     def body(carry, inp):
         st, uid, next_uid = carry
-        image, f_valid, dboxes, dvalid = inp
+        fidx, f_valid, dboxes, dvalid = inp
 
         def run(_):
-            return frame_body((st, uid, next_uid, image,
+            return frame_body((st, uid, next_uid, fidx,
                                dboxes, dvalid & f_valid))
 
         def skip(_):
@@ -838,7 +891,7 @@ def shot_scan(state: TrackState, uid: jnp.ndarray, next_uid: jnp.ndarray,
 
     (state, uid, next_uid), (packed, dropped) = jax.lax.scan(
         body, (state, uid, next_uid),
-        (grays, frame_valid, det_boxes, det_valid),
+        (jnp.arange(T, dtype=jnp.int32), frame_valid, det_boxes, det_valid),
     )
     return (state, uid, next_uid), packed, dropped
 
@@ -856,10 +909,17 @@ def track_scan(state: TrackState, grays: jnp.ndarray,
     when frame t was processed (the reference records a tracker's position
     for every frame it survives into, `tracking.py:227-244`).
     """
+    from .warp import transpose_for_chips
 
-    def body(st, gray):
+    T, H, W = grays.shape
+    N = state.alive.shape[0]
+    imT = transpose_for_chips(grays[..., None])
+
+    def body(st, fidx):
         alive_before = st.alive
-        st2, boxes, conf = step(st, gray, min_confidence)
+        st2, boxes, conf = _step_core(
+            st, imT, H, W, jnp.full((N,), fidx, dtype=jnp.int32),
+            min_confidence)
         # pack per-frame outputs into ONE array so the host needs a single
         # readback per chunk (device->host round-trips are expensive)
         packed = jnp.concatenate(
@@ -868,7 +928,7 @@ def track_scan(state: TrackState, grays: jnp.ndarray,
         )
         return st2, packed
 
-    final, packed = jax.lax.scan(body, state, grays)
+    final, packed = jax.lax.scan(body, state, jnp.arange(T, dtype=jnp.int32))
     boxes = packed[:, :, 0:4]
     confs = packed[:, :, 4]
     alive = packed[:, :, 5] > 0.5

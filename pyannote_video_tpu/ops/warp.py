@@ -139,6 +139,16 @@ def gather_affine_warp(images: jnp.ndarray, frame_idx: jnp.ndarray,
     return out.reshape(frame_idx.shape[0], out_h, out_w, C)
 
 
+def transpose_for_chips(images: jnp.ndarray) -> jnp.ndarray:
+    """[T, H, W, C] → the [T·W, H·C] layout `separable_resize_chips_t`
+    gathers from.  Hoist this OUT of per-frame loops: inside the DSST scan
+    the transpose was re-materialised per step (~15 MB/frame of HBM
+    traffic at 720p); transposing the whole shot once is a single fused
+    op and the scan body then only pays for the columns it gathers."""
+    T, H, W, C = images.shape
+    return jnp.swapaxes(images, 1, 2).reshape(T * W, H * C)
+
+
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
 def separable_resize_chips(images: jnp.ndarray, frame_idx: jnp.ndarray,
                            matrices: jnp.ndarray, out_h: int,
@@ -163,6 +173,22 @@ def separable_resize_chips(images: jnp.ndarray, frame_idx: jnp.ndarray,
     (chip → image; rotation component ignored) → [N, out_h, out_w, C] f32.
     """
     T, H, W, C = images.shape
+    return separable_resize_chips_t(transpose_for_chips(images), H, W, C,
+                                    frame_idx, matrices, out_h, out_w)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "C", "out_h", "out_w"))
+def separable_resize_chips_t(imT: jnp.ndarray, H: int, W: int, C: int,
+                             frame_idx: jnp.ndarray, matrices: jnp.ndarray,
+                             out_h: int, out_w: int) -> jnp.ndarray:
+    """`separable_resize_chips` over a PRE-TRANSPOSED frame stack.
+
+    imT [T·W, H·C] as built by `transpose_for_chips` (any dtype; uint8
+    quarters the gather traffic vs float32).  Callers that extract many
+    times from the same frames (the DSST scan: 2+ extractions per frame
+    per direction) transpose once and pass imT + frame indices, so the
+    scan body's only frame-resolution work is the column gathers.
+    """
     N = frame_idx.shape[0]
 
     sx = matrices[:, 0, 0]
@@ -175,7 +201,6 @@ def separable_resize_chips(images: jnp.ndarray, frame_idx: jnp.ndarray,
     in_y = jnp.clip(oy[:, None] + sy[:, None] * py[None], 0.0, H - 1.0)
 
     # horizontal 2-tap: gather length-H source columns per output column
-    imT = jnp.swapaxes(images, 1, 2).reshape(T * W, H * C)
     x0 = jnp.floor(in_x).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, W - 1)
     wx = (in_x - x0.astype(jnp.float32)).reshape(-1, 1)
