@@ -246,6 +246,10 @@ def _load(path: str) -> Dict:
     for k in list(out):
         if k.endswith("anchor") or k.endswith("i1") or k.endswith("i2"):
             out[k] = jnp.asarray(np.asarray(out[k]), dtype=jnp.int32)
+        elif k.endswith("leaves"):
+            # leaves may be stored f16 (weight-file size); the per-stage
+            # sum over trees runs f32
+            out[k] = jnp.asarray(np.asarray(out[k]), dtype=jnp.float32)
     return out
 
 

@@ -23,6 +23,13 @@ from ..models import detector
 from ..models.nn import save_params
 from . import data
 
+# margin-hinge targets (logits).  The operating threshold sits between
+# MARGIN_NEG and MARGIN_POS; the hinges train the separation directly
+# (see loss_fn) rather than leaving it to post-hoc threshold calibration.
+MARGIN_POS = 8.0
+MARGIN_NEG = 0.0
+MARGIN_W = 0.5
+
 
 def loss_fn(params, frames, labels, deltas, delta_mask):
     maps, params_new = detector.forward_maps(params, frames, train=True,
@@ -44,6 +51,21 @@ def loss_fn(params, frames, labels, deltas, delta_mask):
     B = neg_losses.shape[0]
     top_neg, _ = jax.lax.top_k(neg_losses.reshape(B, -1), 8)
     cls_loss = cls_loss + 2.0 * jnp.mean(top_neg)
+
+    # margin hinges: BCE saturates once a cell is on the right side of 0,
+    # so the hardest real faces and decoys both pile up near the decision
+    # boundary and the score tails overlap on unseen seeds (VERDICT r3
+    # missing #2).  Explicit hinges keep gradient flowing until positives
+    # clear +MARGIN_POS and negatives fall below MARGIN_NEG — training the
+    # separation the operating threshold needs, instead of recalibrating
+    # the threshold into an overlap after every retrain.
+    pos_hinge = jnp.maximum(MARGIN_POS - logits, 0.0)
+    cls_loss = cls_loss + MARGIN_W * (
+        jnp.sum(pos_hinge * pos) / jnp.maximum(jnp.sum(pos), 1.0))
+    neg_hinge = jnp.where(pos | (labels < 0.0), 0.0,
+                          jnp.maximum(logits - MARGIN_NEG, 0.0))
+    top_hinge, _ = jax.lax.top_k(neg_hinge.reshape(B, -1), 8)
+    cls_loss = cls_loss + MARGIN_W * jnp.mean(top_hinge)
 
     reg_err = pred_deltas - deltas
     huber = jnp.where(jnp.abs(reg_err) < 1.0, 0.5 * reg_err ** 2,

@@ -170,8 +170,6 @@ class TestTracking:
 
 
     @pytest.mark.slow
-
-
     def test_crowd_scene_grows_slot_bucket(self):
         """>16 simultaneous objects: the 16→32 slot-bucket retry keeps every
         detection (the reference is unbounded, `tracking.py:246-259`; the
@@ -271,6 +269,55 @@ class TestTracking:
                 assert x_end > W / 2, (x_start, x_end)
             else:
                 assert x_end < W / 2, (x_start, x_end)
+
+    def test_detection_miss_bridged_by_tracking(self):
+        """Track-level recovery of per-frame detection misses — the safety
+        net `models/detector.py:DEFAULT_THRESHOLD`'s calibration note
+        leans on (wide-seed score tails overlap, so isolated misses WILL
+        happen on hard domains): with detections dropped at two
+        consecutive detection frames of a held-out BC episode (a 10-frame
+        detection blackout), fwd/bwd DSST bridging must keep every
+        frame's face covered and the track unfragmented."""
+        from pyannote_video_tpu.pipeline.tracking import TrackingByDetection
+        from pyannote_video_tpu.utils.synthetic_shift import domain_hooks
+
+        T, W, H = 24, 240, 160
+        ep = synthetic_episode(
+            n_shots=1, shot_frames=T, width=W, height=H, seed=77,
+            face_height_ratio=0.4, **domain_hooks("BC"),
+        )
+        fmap = {ep.frames[f].tobytes(): f for f in range(T)}
+        # detection cadence is every 5 frames (0.2 s at 25 fps): frames
+        # 0, 5, 10, 15, 20.  Miss at 10 AND 15 — the longest blackout the
+        # cadence can produce short of losing the whole shot.
+        missed = {10, 15}
+        calls = []
+
+        def flaky_detect(frame):
+            f = fmap[np.asarray(frame).tobytes()]
+            calls.append(f)
+            if f in missed:
+                return []
+            return [o.box for o in ep.faces_at(f)]
+
+        tracking = TrackingByDetection(
+            detect_func=flaky_detect, detect_every=0.2, track_max_gap=1.0,
+        )
+        tracks = list(tracking(Video(ep.frames, fps=ep.fps),
+                               [Segment(0, T / 25.0)]))
+        assert set(missed) <= set(calls)  # the misses actually happened
+        assert len(tracks) == 1, (
+            f"track fragmented across the detection blackout: {len(tracks)}"
+        )
+        covered = 0
+        for f in range(T):
+            t = f / ep.fps
+            gt = ep.faces_at(f)[0].box
+            gtn = (gt[0] / W, gt[1] / H, gt[2] / W, gt[3] / H)
+            if any(abs(tt - t) < 1e-6 and iou_xyxy(box, gtn) > 0.4
+                   for trk in tracks for (tt, box, _s) in trk):
+                covered += 1
+        assert covered == T, f"track recall {covered}/{T} across the misses"
 
     def test_duplicate_detection_suppressed(self):
         """A gate-failing detection mostly contained in a live tracker must
