@@ -331,6 +331,8 @@ def _sustained_e2e(jax, jnp, pipe, detect_only, dsst):
         "n_stages": int(pipe.landmark_params.get("n_stages", 0)),
         "depth": int(pipe.landmark_params.get("depth", 3)),
     }
+    if "bilinear_tail" in pipe.landmark_params:
+        lm_static["bilinear_tail"] = int(pipe.landmark_params["bilinear_tail"])
 
     @jax.jit
     def extract_yuv_prog(lm_arrays, emb_params, y, u, v, grays, frame_idx,
@@ -675,6 +677,8 @@ def main():
         "n_stages": int(pipe.landmark_params.get("n_stages", 0)),
         "depth": int(pipe.landmark_params.get("depth", 3)),
     }
+    if "bilinear_tail" in pipe.landmark_params:
+        lm_static["bilinear_tail"] = int(pipe.landmark_params["bilinear_tail"])
 
     @jax.jit
     def extract_prog(lm_arrays, emb_params, frames_u8, frame_idx, boxes):

@@ -98,7 +98,7 @@ class FusedFacePipeline:
         self.landmark_params = landmark_params
         self.landmark_arrays = {
             k: v for k, v in landmark_params.items()
-            if k not in ("n_stages", "depth")
+            if k not in ("n_stages", "depth", "bilinear_tail")
         }
         self.threshold = threshold
         self.nms_iou = nms_iou
@@ -126,6 +126,9 @@ class FusedFacePipeline:
             "n_stages": int(self.landmark_params.get("n_stages", 0)),
             "depth": int(self.landmark_params.get("depth", 3)),
         }
+        if "bilinear_tail" in self.landmark_params:
+            lm_static["bilinear_tail"] = int(
+                self.landmark_params["bilinear_tail"])
         has_cascade = lm_static["n_stages"] > 0
 
         @jax.jit

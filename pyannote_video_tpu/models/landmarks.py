@@ -68,6 +68,14 @@ def predict_cascade(params: Dict, grays: jnp.ndarray, boxes: jnp.ndarray):
     mean_shape = params["mean_shape"]
     n_stages = int(params["n_stages"])
     depth = int(params["depth"])
+    # coarse-to-fine feature sampling: early stages take NEAREST-pixel
+    # features (dlib's shape_predictor rounds to the nearest pixel; one
+    # tap = 4x less gather traffic than bilinear), the last
+    # ``bilinear_tail`` stages sample bilinearly — sub-pixel precision is
+    # only needed once the shape estimate is already close.  Weights
+    # carry the split they were trained with; absent field = all-bilinear
+    # (pre-r4 cascades).
+    bilinear_tail = int(params.get("bilinear_tail", n_stages))
     nodes = (1 << depth) - 1
 
     cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
@@ -83,6 +91,7 @@ def predict_cascade(params: Dict, grays: jnp.ndarray, boxes: jnp.ndarray):
     N = grays.shape[0]
     shape = jnp.broadcast_to(mean_shape, (N, N_POINTS, 2))
 
+    n_leaves = 1 << depth
     for s in range(n_stages):
         anchor = params[f"s{s}/anchor"]      # [P]
         offset = params[f"s{s}/offset"]      # [P, 2]
@@ -92,30 +101,84 @@ def predict_cascade(params: Dict, grays: jnp.ndarray, boxes: jnp.ndarray):
         leaves = params[f"s{s}/leaves"]      # [T, LEAVES, 136]
         T_trees = i1.shape[0]
 
-        def face_update(shape_i, idx):
-            # features: one batched bilinear gather at warped anchor offsets
-            rot = _similarity_to_current(mean_shape, shape_i)
-            pts = shape_i[anchor] + offset @ rot.T          # [P, 2] normalized
-            x = cx[idx] + pts[:, 0] * half_w[idx]
-            y = cy[idx] + pts[:, 1] * half_h[idx]
-            feats = bilinear_sample(grays[idx], y, x)        # [P]
+        fine = s >= n_stages - bilinear_tail
 
-            # lockstep heap-indexed traversal of all trees
-            node = jnp.zeros((T_trees,), dtype=jnp.int32)
-            for _ in range(depth):
-                n1 = jnp.take_along_axis(i1, node[:, None], axis=1)[:, 0]
-                n2 = jnp.take_along_axis(i2, node[:, None], axis=1)[:, 0]
-                th = jnp.take_along_axis(thresh, node[:, None], axis=1)[:, 0]
-                go_right = (feats[n1] - feats[n2]) > th
-                node = 2 * node + 1 + go_right.astype(jnp.int32)
+        # feature-point coordinates for every (face, point) at once
+        rot = jax.vmap(_similarity_to_current, in_axes=(None, 0))(
+            mean_shape, shape)                               # [N, 2, 2]
+        pts = (shape[:, anchor, :]
+               + jnp.einsum("pc,ndc->npd", offset, rot))     # [N, P, 2]
+        x = cx[:, None] + pts[..., 0] * half_w[:, None]      # [N, P]
+        y = cy[:, None] + pts[..., 1] * half_h[:, None]
 
-            leaf = node - nodes                              # [T]
-            delta = jnp.take_along_axis(
-                leaves, leaf[:, None, None], axis=1
-            )[:, 0, :]                                       # [T, 136]
-            return delta.sum(axis=0)
+        Hc, Wc = grays.shape[1], grays.shape[2]
+        if Hc * Wc <= 256 * 256:
+            # dense separable sampling on the MXU: per-axis weight
+            # matrices (bilinear hat, or one-hot of the rounded coord on
+            # coarse stages) contracted against the images —
+            # [N,P,Hc] @ [N,Hc,Wc] then a [N,P,Wc] row dot.  Arbitrary
+            # point gathers lower to ~1 element/cycle scalar loops on
+            # TPU (measured: the cascade was 93% of the extract stage);
+            # at crop resolution this contraction is <1 GFLOP/stage of
+            # MXU work instead.  Exactly equal to the gather form.
+            y = jnp.clip(y, 0.0, Hc - 1.0)
+            x = jnp.clip(x, 0.0, Wc - 1.0)
+            if not fine:
+                y, x = jnp.round(y), jnp.round(x)
+            hy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(y[..., None]
+                                   - jnp.arange(Hc, dtype=jnp.float32)))
+            hx = jnp.maximum(
+                0.0, 1.0 - jnp.abs(x[..., None]
+                                   - jnp.arange(Wc, dtype=jnp.float32)))
+            rows = jnp.einsum("nph,nhw->npw", hy, grays)
+            feats = jnp.sum(rows * hx, axis=-1)              # [N, P]
+        else:
+            # full-frame grays: the dense form would contract against
+            # the whole frame — fall back to per-face point gathers
+            def face_feats(xy, idx):
+                g = grays[idx]
+                if fine:
+                    return bilinear_sample(g, xy[1], xy[0])
+                yi = jnp.clip(jnp.round(xy[1]).astype(jnp.int32), 0, Hc - 1)
+                xi = jnp.clip(jnp.round(xy[0]).astype(jnp.int32), 0, Wc - 1)
+                return g[yi, xi]
 
-        delta_sum = jax.vmap(face_update)(shape, jnp.arange(N))  # [N, 136]
+            feats = jax.vmap(face_feats)((x, y), jnp.arange(N))  # [N, P]
+
+        # gather-free lockstep traversal (measured: the gather-based
+        # walk — 5 small dynamic gathers per level — was ~80% of the
+        # whole extract stage; TPU lowers arbitrary gathers to scalar
+        # loops with heavy per-op overhead).  Every node's split decision
+        # is evaluated UP FRONT as one static matmul: selection matrices
+        # S1/S2 (one-hot rows built from the stage's constant feature
+        # indices, folded by XLA) give
+        #   d_all = feats @ (S1 - S2)^T          [N, T·NODES]  (MXU)
+        # and the walk then only mixes those precomputed bits with
+        # [N, T, NODES]-sized one-hot arithmetic — no dynamic gathers.
+        P_pool = feats.shape[1]
+        sel = (jax.nn.one_hot(i1.reshape(-1), P_pool, dtype=feats.dtype)
+               - jax.nn.one_hot(i2.reshape(-1), P_pool, dtype=feats.dtype))
+        d_all = feats @ sel.T                                # [N, T·NODES]
+        bits = (d_all.reshape(N, T_trees, nodes)
+                > thresh[None, :, :]).astype(jnp.float32)    # [N, T, NODES]
+        node = jnp.zeros((N, T_trees), dtype=jnp.int32)
+        for _ in range(depth):
+            oh = jax.nn.one_hot(node, nodes, dtype=jnp.float32)
+            b = jnp.sum(oh * bits, axis=-1)                  # [N, T]
+            node = 2 * node + 1 + b.astype(jnp.int32)
+
+        leaf = node - nodes                                  # [N, T]
+        # leaf deltas summed over trees as ONE one-hot matmul on the MXU:
+        # one_hot over the per-tree leaf axis is block-diagonal in the
+        # flattened [T·L] layout, so [N, T, L] reshapes straight to the
+        # [N, T·L] selector and delta = selector @ leaves[T·L, 136].
+        # The former per-face take_along_axis+sum gathered T×136 elements
+        # per (face, stage) — the single hottest op of the whole extract
+        # program (measured: cascade = 93% of extract).
+        onehot = jax.nn.one_hot(leaf, n_leaves, dtype=leaves.dtype)
+        delta_sum = (onehot.reshape(N, T_trees * n_leaves)
+                     @ leaves.reshape(T_trees * n_leaves, -1))
         shape = shape + delta_sum.reshape(N, N_POINTS, 2)
 
     x = cx[:, None] + shape[..., 0] * half_w[:, None]
@@ -242,6 +305,8 @@ def _load(path: str) -> Dict:
     walk(flat)
     out["n_stages"] = int(np.asarray(out["n_stages"]))
     out["depth"] = int(np.asarray(out["depth"]))
+    if "bilinear_tail" in out:
+        out["bilinear_tail"] = int(np.asarray(out["bilinear_tail"]))
     # integer index arrays must stay int32
     for k in list(out):
         if k.endswith("anchor") or k.endswith("i1") or k.endswith("i2"):

@@ -26,6 +26,38 @@ AUG_CUTOUT_P = 0.25    # per-face probability of a cutout patch
 AUG_SIDEBAR_P = 0.25   # per-face probability of a side occlusion bar
 
 
+def broad_identity(rng: np.random.Generator,
+                   stretch: float = 0.35) -> FaceParams:
+    """Identity parameters from the training sampler's ranges stretched by
+    ``stretch`` about each range's midpoint — generic appearance
+    broadening (the synthetic analogue of training on a more diverse face
+    corpus).  Values are clipped to renderable bounds.  Parameterised by
+    one scalar applied uniformly to every field; NOT derived from the
+    eval-shift module (`utils/synthetic_shift.py`), which trainers must
+    never import.
+    """
+    s = 1.0 + stretch
+
+    def u(lo, hi):
+        lo, hi = np.asarray(lo, float), np.asarray(hi, float)
+        mid, half = (lo + hi) / 2.0, (hi - lo) / 2.0 * s
+        return rng.uniform(mid - half, mid + half)
+
+    return FaceParams(
+        skin=tuple(np.clip(u([150, 110, 80], [235, 205, 180]), 0, 255)),
+        hair=tuple(np.clip(u([20, 10, 5], [120, 90, 60]), 0, 255)),
+        eye_dx=float(np.clip(u(0.32, 0.48), 0.26, 0.54)),
+        eye_y=float(np.clip(u(-0.24, -0.12), -0.30, -0.06)),
+        eye_r=float(np.clip(u(0.07, 0.13), 0.04, 0.16)),
+        iris=tuple(np.clip(u([10, 10, 10], [80, 60, 120]), 0, 255)),
+        mouth_w=float(np.clip(u(0.20, 0.36), 0.12, 0.44)),
+        mouth_y=float(np.clip(u(0.48, 0.62), 0.42, 0.68)),
+        brow_y=float(np.clip(u(-0.52, -0.40), -0.60, -0.34)),
+        aspect=float(np.clip(u(1.15, 1.45), 1.02, 1.60)),
+        nose_len=float(np.clip(u(0.4, 0.6), 0.25, 0.75)),
+    )
+
+
 def _random_affine(rng: np.random.Generator) -> np.ndarray:
     th = np.deg2rad(rng.uniform(-AUG_MAX_ROLL, AUG_MAX_ROLL))
     xs = rng.uniform(AUG_MIN_XSCALE, 1.0)
@@ -51,8 +83,14 @@ def _warp_frame_and_boxes(img, gt, A, cx0, cy0):
         hw, hh = (r - l) / 2, (b - t) / 2
         bw = float(np.hypot(A[0, 0] * hw, A[0, 1] * hh))
         bh = float(np.hypot(A[1, 0] * hw, A[1, 1] * hh))
-        new_gt.append((float(c[0, 0]) - bw, float(c[1, 0]) - bh,
-                       float(c[0, 0]) + bw, float(c[1, 0]) + bh))
+        # clip to the visible frame (the annotation of a face partially
+        # warped out of view); drop faces left with no visible extent
+        nl = max(float(c[0, 0]) - bw, 0.0)
+        nt = max(float(c[1, 0]) - bh, 0.0)
+        nr = min(float(c[0, 0]) + bw, float(w))
+        nb = min(float(c[1, 0]) + bh, float(h))
+        if nr > nl and nb > nt:
+            new_gt.append((nl, nt, nr, nb))
     return out, new_gt
 
 
@@ -204,7 +242,11 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
             _draw_clutter(bg, rng, WINDOW * ss * rng.uniform(0.7, 2.0))
         n_faces = rng.integers(0, 3) if rng.random() < p_face else 0
         for _ in range(n_faces):
-            params = FaceParams.random(rng)
+            # half from the generically stretched identity ranges
+            # (`broad_identity`): detection must hold on face geometries
+            # beyond the narrow training-sampler band
+            params = (broad_identity(rng) if rng.random() < 0.5
+                      else FaceParams.random(rng))
             face_h = WINDOW * ss * rng.uniform(0.85, 1.2)
             half_w = face_h / 2.0 / params.aspect
             cx = rng.uniform(half_w + 2, cw - half_w - 2)

