@@ -158,24 +158,35 @@ def _track_bytes(dsst, T, n_slots, H, W):
     return T * per_frame + 2 * T * H * W * f4
 
 
-def _extract_bytes(n_faces, H, W, n_stages, trees=160, crop=128,
-                   chip=150, emb_params=5.6e6):
+def _extract_bytes(n_faces, H, W, n_stages, depth=4, trees=224, pool=400,
+                   crop=128, chip=150, emb_params=5.6e6):
     """ERT cascade + chip warp + ResNet-29 embed for n_faces faces.
 
-    Gray conversion (u8 frames read + f32 gray write+read), per-face crop
-    and chip gathers (column sets × 4 passes, as in the track model), per
-    stage one leaf-delta gather per (face, tree) plus the stage's
-    parameter read, ResNet activations ≈2× the input chip per face in
+    Gray conversion (u8 frames read + f32 gray write+read) and per-face
+    crop/chip gathers (column sets × 4 passes, as in the track model).
+    The cascade is gather-free (`models/landmarks.py:predict_cascade`):
+    per stage the major tensors are the separable hat matrices
+    ([N,P,crop] each axis, write+read), the row contraction intermediate
+    ([N,P,crop], write+read), one crop read, and the stage constants
+    (node-selector [T·nodes,P] + leaf table [T·leaves,136]); the
+    traversal/leaf one-hot intermediates are [N,T·nodes]-scale (MB-class,
+    counted once).  ResNet activations ≈2× the input chip per face in
     bf16 across the 29 layers (spatial halvings offset channel growth).
     """
     f4 = 4
-    leaves = 8  # depth-3 trees
+    nodes = (1 << depth) - 1
+    leaves = 1 << depth
     gray = n_faces * H * W * (3 + 2 * f4)          # u8 read + f32 w+r
     crops = 4 * n_faces * crop * H * f4            # crop column gathers
-    cascade = n_stages * (
-        n_faces * trees * 136 * f4                 # leaf-delta gathers
-        + trees * leaves * 136 * f4                # stage leaf params read
+    per_stage = (
+        4 * n_faces * pool * crop * f4             # hy+hx write+read
+        + 2 * n_faces * pool * crop * f4           # rows write+read
+        + n_faces * crop * crop * f4               # crop read (einsum)
+        + trees * nodes * pool * f4                # node-selector read
+        + trees * leaves * 136 * 2                 # leaf table read (f16)
+        + 2 * n_faces * trees * nodes * f4         # bits/one-hot traffic
     )
+    cascade = n_stages * per_stage
     chips = (4 * n_faces * chip * H * 3 * f4       # chip column gathers
              + 2 * n_faces * chip * chip * 3 * f4)  # chip write+read
     resnet = n_faces * 2 * (2 * chip * chip * 3 * 2) + emb_params * 2
@@ -738,7 +749,11 @@ def main():
     ]
     bd = _detect_bytes(level_dims, len(det_idx), H, W)
     bt1 = _track_bytes(dsst, T_SHOT, N_SLOTS, H, W)
-    be = _extract_bytes(T_SHOT, H, W, lm_static["n_stages"])
+    _lm_i1 = pipe.landmark_params.get("s0/i1")
+    be = _extract_bytes(
+        T_SHOT, H, W, lm_static["n_stages"], depth=lm_static["depth"],
+        trees=(_lm_i1.shape[0] if _lm_i1 is not None else 224),
+        pool=len(pipe.landmark_params.get("s0/anchor", range(400))))
     roofline = {
         "device_kind": kind,
         "dispatch_floor_ms": round(floor_s * 1e3, 1),
@@ -755,9 +770,10 @@ def main():
             "into the scan) not faster kernels"),
         "extract": _roofline_entry(
             fe, be, t_extract, floor_s, peaks,
-            "gather-bound: per-face crop/chip column gathers and 12 "
-            "sequential cascade stages; next 2x = coalescing the "
-            "per-stage feature gathers and batching faces across frames"),
+            "sequential cascade stages: 15 dependent rounds of dense "
+            "separable sampling + one-hot tree matmuls (each MXU-light); "
+            "next 2x = bf16 hat/selector contractions and batching faces "
+            "across shots so each stage's matmuls run wider"),
     }
     if peaks is not None:
         roofline["peak_bf16_tflops"], roofline["peak_hbm_gbps"] = peaks

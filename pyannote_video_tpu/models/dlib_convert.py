@@ -308,12 +308,21 @@ def convert_shape_predictor(path: str) -> Dict:
         ).astype(np.float32)
     params["n_stages"] = int(len(forests))
     params["depth"] = int(depth if depth is not None else 3)
+    # dlib's shape_predictor samples feature points at the NEAREST pixel
+    # (shape_predictor.h rounds the warped location); the bilinear-tail
+    # sampling split is this framework's extension and is not part of the
+    # wire format, so a genuine .dat serves faithfully as all-nearest.
+    params["bilinear_tail"] = 0
     return params
 
 
 def write_shape_predictor(path: str, params: Dict) -> None:
     """Export `models/landmarks.py` params to the shape_predictor layout
-    (the reverse coordinate conversion of ``convert_shape_predictor``)."""
+    (the reverse coordinate conversion of ``convert_shape_predictor``).
+
+    The ``bilinear_tail`` sampling-mode extension has no slot in dlib's
+    wire format and is dropped; a re-imported cascade runs all-nearest
+    (dlib's sampling)."""
     n_stages = int(params["n_stages"])
     with open(path, "wb") as fp:
         w = DlibWriter(fp)

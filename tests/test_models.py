@@ -279,24 +279,31 @@ class TestDlibConvert:
 
         assert conv["n_stages"] == int(orig["n_stages"])
         assert conv["depth"] == int(orig["depth"])
+        # sampling mode is NOT part of dlib's wire format: a re-imported
+        # cascade must serve all-nearest (dlib's sampling), whatever the
+        # exported one used
+        assert conv["bilinear_tail"] == 0
+        meta_keys = ("n_stages", "depth", "bilinear_tail")
         for k in orig:
-            if k in ("n_stages", "depth"):
+            if k in meta_keys:
                 continue
             np.testing.assert_allclose(
                 np.asarray(conv[k]), np.asarray(orig[k]),
                 rtol=0, atol=1e-6, err_msg=k,
             )
 
-        # converted cascade predicts identically on a real image
+        # converted weights predict identically on a real image (sampling
+        # mode pinned to the original's — it is orthogonal to the weights)
         grays = to_gray(jnp.asarray(episode.frames[:1]))
         box = np.asarray([episode.faces_at(0)[0].box], np.float32)
         fidx = jnp.zeros((1,), jnp.int32)
         lm_orig = np.asarray(predict_crops(
             {k: jnp.asarray(v) if not np.isscalar(v) else v
              for k, v in orig.items()}, grays, fidx, jnp.asarray(box)))
-        conv_j = dict(conv)
-        conv_j = {k: (v if k in ("n_stages", "depth") else jnp.asarray(v))
-                  for k, v in conv_j.items()}
+        conv_j = {k: (v if k in meta_keys else jnp.asarray(v))
+                  for k, v in conv.items()}
+        conv_j["bilinear_tail"] = int(orig.get(
+            "bilinear_tail", int(orig["n_stages"])))
         lm_conv = np.asarray(predict_crops(conv_j, grays, fidx,
                                            jnp.asarray(box)))
         np.testing.assert_allclose(lm_conv, lm_orig, atol=1e-3)
