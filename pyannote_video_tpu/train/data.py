@@ -24,6 +24,19 @@ AUG_MAX_SHEAR = 0.11
 AUG_YSCALE = (0.85, 1.18)  # vertical stretch (face aspect-ratio coverage)
 AUG_CUTOUT_P = 0.25    # per-face probability of a cutout patch
 AUG_SIDEBAR_P = 0.25   # per-face probability of a side occlusion bar
+# joint-tail oversampling: with this probability a crop is a "hard combo" —
+# strong roll AND strong foreshortening AND a forced occlusion bar at once.
+# Independent sampling of each augmentation leaves the joint tail nearly
+# empty (0.7 * tails of each range * 0.25 ≈ 1%), and the wide-seed probe
+# showed exactly that gap: persistent-pose shots combining max roll, yaw
+# squash and an occluder scored 0.8-3.6 logits while typical posed faces
+# hold 7+ (evals/probe_detector.py --wide, domain B seed 707).
+# Kept low, and paired with a LOWER positive-margin target in the loss
+# (train_detector.MARGIN_POS_HARD): a measured run at 0.25 with the full
+# +8 target taught the detector that low-evidence warped blobs are
+# high-confidence faces, and background false positives rose with them
+# (fp_n 13 → 110 on the unshifted probe domain).
+AUG_HARD_P = 0.12
 
 
 def broad_identity(rng: np.random.Generator,
@@ -58,9 +71,17 @@ def broad_identity(rng: np.random.Generator,
     )
 
 
-def _random_affine(rng: np.random.Generator) -> np.ndarray:
-    th = np.deg2rad(rng.uniform(-AUG_MAX_ROLL, AUG_MAX_ROLL))
-    xs = rng.uniform(AUG_MIN_XSCALE, 1.0)
+def _random_affine(rng: np.random.Generator, hard: bool = False) -> np.ndarray:
+    if hard:
+        # joint tail: strong roll AND strong foreshortening together
+        # (sub-maximal: the extremes of BOTH at once leave too little
+        # face evidence to be a useful positive)
+        th = np.deg2rad(rng.uniform(18.0, 28.0) *
+                        (1 if rng.random() < 0.5 else -1))
+        xs = rng.uniform(0.78, 0.86)
+    else:
+        th = np.deg2rad(rng.uniform(-AUG_MAX_ROLL, AUG_MAX_ROLL))
+        xs = rng.uniform(AUG_MIN_XSCALE, 1.0)
     ys = rng.uniform(*AUG_YSCALE)
     sh = rng.uniform(-AUG_MAX_SHEAR, AUG_MAX_SHEAR)
     rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
@@ -202,16 +223,20 @@ def _photometric_aug(bg: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 def detection_batch(rng: np.random.Generator, batch: int = 16,
                     height: int = 128, width: int = 128,
-                    p_face: float = 0.8) -> Tuple[np.ndarray, List[List[Tuple[float, float, float, float]]]]:
+                    p_face: float = 0.8, return_hard: bool = False):
     """Frames with 0-2 faces whose heights sit in the detector's window band.
 
-    Returns (frames [B, H, W, 3] uint8, per-frame GT box lists).
+    Returns (frames [B, H, W, 3] uint8, per-frame GT box lists); with
+    ``return_hard`` also a float [B] mask of the hard-combo crops so the
+    loss can give their positives a lower margin target
+    (train_detector.MARGIN_POS_HARD).
     """
     import cv2
     from dataclasses import replace
 
     frames = np.empty((batch, height, width, 3), dtype=np.uint8)
     boxes: List[List[Tuple[float, float, float, float]]] = []
+    hard_mask = np.zeros((batch,), dtype=np.float32)
     for b in range(batch):
         # super-scale augmentation: at inference, large faces reach the
         # detector through the pyramid's bilinear downscale
@@ -227,7 +252,7 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
         # face-like decoy negatives: skin-tone ellipses WITHOUT facial
         # structure, so the detector must key on eyes/mouth geometry
         # rather than "skin blob on texture"
-        if rng.random() < 0.7:
+        if rng.random() < 0.8:
             decoy = FaceParams.random(rng)
             decoy = replace(decoy, eye_r=0.0, mouth_w=0.0, nose_len=0.2)
             dh = min(WINDOW * ss * rng.uniform(0.8, 2.0),
@@ -238,7 +263,7 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
         # generic clutter negatives: discs/rings/blobs/gratings with
         # random dark spots — compact face-SIZED objects that are not
         # faces (see `_draw_clutter`)
-        for _ in range(int(rng.integers(0, 4))):
+        for _ in range(int(rng.integers(1, 5))):
             _draw_clutter(bg, rng, WINDOW * ss * rng.uniform(0.7, 2.0))
         n_faces = rng.integers(0, 3) if rng.random() < p_face else 0
         for _ in range(n_faces):
@@ -274,9 +299,12 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
             gt = [tuple(v / ss for v in g) for g in gt]
         # pose augmentation: random affine of the whole frame (roll / yaw
         # foreshortening / shear) with exactly-warped GT, then cutouts —
-        # the detector must keep firing on posed, partially occluded faces
-        if gt and rng.random() < AUG_P:
-            A = _random_affine(rng)
+        # the detector must keep firing on posed, partially occluded faces.
+        # "hard" crops force the joint tail (see AUG_HARD_P).
+        hard = bool(gt) and rng.random() < AUG_HARD_P
+        hard_mask[b] = float(hard)
+        if gt and (hard or rng.random() < AUG_P):
+            A = _random_affine(rng, hard=hard)
             bg, gt = _warp_frame_and_boxes(bg, gt, A, width / 2, height / 2)
         for (l, t, r, btm2) in gt:
             if rng.random() < AUG_CUTOUT_P:
@@ -290,7 +318,7 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
                 x1 = int(np.clip(ox + cw / 2, x0 + 1, width))
                 y1 = int(np.clip(oy + chh / 2, y0 + 1, height))
                 bg[y0:y1, x0:x1] = rng.uniform(20, 230)
-            if rng.random() < AUG_SIDEBAR_P:
+            if hard or rng.random() < AUG_SIDEBAR_P:
                 # side occlusion bar: a solid rectangle covering up to a
                 # quarter of the face from one edge (hands, foreground
                 # props, frame edges — the generic partial-occlusion case)
@@ -311,6 +339,8 @@ def detection_batch(rng: np.random.Generator, batch: int = 16,
         frames[b] = np.clip(_photometric_aug(bg, rng), 0, 255
                             ).astype(np.uint8)
         boxes.append(gt)
+    if return_hard:
+        return frames, boxes, hard_mask
     return frames, boxes
 
 

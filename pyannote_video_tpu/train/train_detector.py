@@ -27,11 +27,28 @@ from . import data
 # MARGIN_NEG and MARGIN_POS; the hinges train the separation directly
 # (see loss_fn) rather than leaving it to post-hoc threshold calibration.
 MARGIN_POS = 8.0
+# hard-combo crops (data.AUG_HARD_P: strong roll + foreshortening + forced
+# occlusion at once) get a LOWER positive target: demanding the full +8
+# from low-evidence faces teaches the net that any vague warped blob is a
+# high-confidence face, and background FP scores rise with them (measured:
+# fp_n 13 → 110 on the unshifted probe domain).  6 still clears every
+# distractor the wide probe has ever recorded (fp_max 2.5-4.6) with the
+# >= 2-logit margin the operating point needs.
+MARGIN_POS_HARD = 6.0
 MARGIN_NEG = 0.0
 MARGIN_W = 0.5
+NEG_MINE_K = 24      # hard-negative cells mined per image (was 8: too few —
+                     # serve-time probes found 10x that many firing cells)
+# upper anchor on positive logits: without it, fine-tuning inflates the
+# whole logit scale (BCE keeps pushing easy positives up without bound;
+# a measured 800-step fine-tune blew p5 from 7 to 28 logits and dragged
+# fp_max from 4.5 to 16 with it — same shape, 2.5x the scale, worse
+# absolute tails).  Pinning positives into [MARGIN_POS, ANCHOR] keeps the
+# margin objective about *separation*, not scale.
+ANCHOR = MARGIN_POS + 4.0
 
 
-def loss_fn(params, frames, labels, deltas, delta_mask):
+def loss_fn(params, frames, labels, deltas, delta_mask, hard):
     maps, params_new = detector.forward_maps(params, frames, train=True,
                                              compute_dtype=jnp.float32)
     logits = maps[..., 0]
@@ -49,23 +66,26 @@ def loss_fn(params, frames, labels, deltas, delta_mask):
     # patterns that plain BCE under-penalises
     neg_losses = jnp.where(pos | (labels < 0.0), 0.0, bce)
     B = neg_losses.shape[0]
-    top_neg, _ = jax.lax.top_k(neg_losses.reshape(B, -1), 8)
+    top_neg, _ = jax.lax.top_k(neg_losses.reshape(B, -1), NEG_MINE_K)
     cls_loss = cls_loss + 2.0 * jnp.mean(top_neg)
 
     # margin hinges: BCE saturates once a cell is on the right side of 0,
     # so the hardest real faces and decoys both pile up near the decision
     # boundary and the score tails overlap on unseen seeds (VERDICT r3
     # missing #2).  Explicit hinges keep gradient flowing until positives
-    # clear +MARGIN_POS and negatives fall below MARGIN_NEG — training the
-    # separation the operating threshold needs, instead of recalibrating
-    # the threshold into an overlap after every retrain.
-    pos_hinge = jnp.maximum(MARGIN_POS - logits, 0.0)
+    # clear their margin target and negatives fall below MARGIN_NEG —
+    # training the separation the operating threshold needs, instead of
+    # recalibrating the threshold into an overlap after every retrain.
+    pos_target = jnp.where(hard[:, None, None] > 0.5,
+                           MARGIN_POS_HARD, MARGIN_POS)
+    pos_hinge = (jnp.maximum(pos_target - logits, 0.0)
+                 + jnp.maximum(logits - ANCHOR, 0.0))
     cls_loss = cls_loss + MARGIN_W * (
         jnp.sum(pos_hinge * pos) / jnp.maximum(jnp.sum(pos), 1.0))
     neg_hinge = jnp.where(pos | (labels < 0.0), 0.0,
                           jnp.maximum(logits - MARGIN_NEG, 0.0))
-    top_hinge, _ = jax.lax.top_k(neg_hinge.reshape(B, -1), 8)
-    cls_loss = cls_loss + MARGIN_W * jnp.mean(top_hinge)
+    top_hinge, _ = jax.lax.top_k(neg_hinge.reshape(B, -1), NEG_MINE_K)
+    cls_loss = cls_loss + 2.0 * MARGIN_W * jnp.mean(top_hinge)
 
     reg_err = pred_deltas - deltas
     huber = jnp.where(jnp.abs(reg_err) < 1.0, 0.5 * reg_err ** 2,
@@ -82,13 +102,17 @@ def train(steps: int = 600, batch: int = 16, size: int = 128,
     rng = np.random.default_rng(seed)
     params = (init_params if init_params is not None
               else detector.init_params(jax.random.PRNGKey(seed)))
-    tx = optax.adam(lr)
+    # cosine decay to ~lr/10: the margin hinges keep late-training gradient
+    # alive on the tails, so the step size must come down for the easy bulk
+    # not to wander
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.1)
+    tx = optax.adam(sched)
     opt_state = tx.init(params)
 
     @jax.jit
-    def step_fn(params, opt_state, frames, labels, deltas, mask):
+    def step_fn(params, opt_state, frames, labels, deltas, mask, hard):
         (loss, params_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, frames, labels, deltas, mask
+            params, frames, labels, deltas, mask, hard
         )
         updates, opt_state = tx.update(grads, opt_state, params_bn)
         return optax.apply_updates(params_bn, updates), opt_state, loss
@@ -106,9 +130,11 @@ def train(steps: int = 600, batch: int = 16, size: int = 128,
     def worker():
         try:
             while not stop.is_set():
-                frames, boxes = data.detection_batch(rng, batch=batch,
-                                                     height=size, width=size)
-                item = (frames, data.detection_targets(boxes, size, size))
+                frames, boxes, hard = data.detection_batch(
+                    rng, batch=batch, height=size, width=size,
+                    return_hard=True)
+                item = (frames, data.detection_targets(boxes, size, size),
+                        hard)
                 while not stop.is_set():
                     try:
                         q.put(item, timeout=0.5)
@@ -123,11 +149,11 @@ def train(steps: int = 600, batch: int = 16, size: int = 128,
         item = q.get()
         if isinstance(item, BaseException):
             raise item
-        frames, (labels, deltas, mask) = item
+        frames, (labels, deltas, mask), hard = item
         params, opt_state, loss = step_fn(
             params, opt_state,
             jnp.asarray(frames, dtype=jnp.float32), jnp.asarray(labels),
-            jnp.asarray(deltas), jnp.asarray(mask),
+            jnp.asarray(deltas), jnp.asarray(mask), jnp.asarray(hard),
         )
         if step % log_every == 0 or step == steps - 1:
             print(f"step {step:5d}  loss {float(loss):.4f}  "
@@ -137,19 +163,23 @@ def train(steps: int = 600, batch: int = 16, size: int = 128,
 
 
 def main():
-    """usage: train_detector [steps] [out.npz] [--resume]
+    """usage: train_detector [steps] [out.npz] [--resume] [--lr=3e-4]
 
-    ``--resume`` continues from the packaged checkpoint (fresh optimizer).
+    ``--resume`` continues from the packaged checkpoint (fresh optimizer);
+    fine-tunes want a colder ``--lr`` (1e-4) than from-scratch training.
     """
     from ..models.nn import load_params
     from ..models.weights import DETECTOR_FILE
 
-    args = [a for a in sys.argv[1:] if a != "--resume"]
+    args = [a for a in sys.argv[1:]
+            if a != "--resume" and not a.startswith("--lr=")]
     resume = "--resume" in sys.argv[1:]
+    lr = next((float(a.split("=", 1)[1]) for a in sys.argv[1:]
+               if a.startswith("--lr=")), 3e-4)
     steps = int(args[0]) if len(args) > 0 else 600
     out = args[1] if len(args) > 1 else str(DETECTOR_FILE)
     init = load_params(str(DETECTOR_FILE)) if resume else None
-    params = train(steps=steps, init_params=init)
+    params = train(steps=steps, init_params=init, lr=lr)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     save_params(out, params)
     print("saved", out)
