@@ -225,6 +225,37 @@ SHAPE_PREDICTOR_LAYOUT = {
 }
 
 
+def _mirror_heap(depth: int):
+    """Heap permutations mirroring a complete binary tree (recursively
+    swapping every node's children).
+
+    Traversal-polarity conversion: dlib's regression_tree sends
+    ``feats[idx1] − feats[idx2] > thresh`` to the **left** child 2i+1
+    (dlib/image_processing/shape_predictor.h, ``regression_tree::
+    operator()``), while `landmarks.predict_cascade` sends the true
+    comparison to the **right** child 2i+2.  The two traversals pick the
+    same leaf on the *mirrored* tree, so imports mirror every tree's node
+    heap and leaf order — and exports apply the identical permutation (the
+    mirror is an involution).  Copying the heaps unchanged (the pre-r5
+    behaviour) made a genuine ``.dat`` traverse the wrong subtree at every
+    node — invisible to round-trip tests, which use one traversal on both
+    sides (ADVICE r4 #1).
+
+    Returns ``(node_perm, leaf_perm)`` with ``mirrored = arr[perm]``;
+    node_perm reverses order within each heap level, leaf_perm reverses
+    the leaf row.
+    """
+    nodes = (1 << depth) - 1
+    node_perm = np.empty((nodes,), dtype=np.int64)
+    for lvl in range(depth):
+        first = (1 << lvl) - 1
+        size = 1 << lvl
+        node_perm[first:first + size] = np.arange(
+            first + size - 1, first - 1, -1)
+    leaf_perm = np.arange((1 << depth) - 1, -1, -1)
+    return node_perm, leaf_perm
+
+
 def convert_shape_predictor(path: str) -> Dict:
     """shape_predictor .dat → `models/landmarks.py` params dict.
 
@@ -232,7 +263,9 @@ def convert_shape_predictor(path: str) -> Dict:
     box-normalized [0,1]² frame; our cascade runs in the centered [-1,1]²
     frame (`landmarks.py:predict_cascade`), so shapes map u → 2u−1 and the
     additive quantities (leaf deltas, pool offsets) scale ×2.  Intensity
-    thresholds are frame-independent and pass through unchanged.
+    thresholds are frame-independent and pass through unchanged.  Tree
+    heaps are mirrored to convert dlib's true-goes-left traversal into
+    this cascade's true-goes-right (see `_mirror_heap`).
     """
     with open(path, "rb") as fp:
         r = DlibReader(fp)
@@ -298,13 +331,15 @@ def convert_shape_predictor(path: str) -> Dict:
             depth = d
         elif depth != d:
             raise ValueError("trees of differing depth are unsupported")
+        node_perm, leaf_perm = _mirror_heap(d)
         params[f"s{k}/anchor"] = anchor
         params[f"s{k}/offset"] = delta * 2.0           # [0,1] → [-1,1] frame
-        params[f"s{k}/i1"] = np.stack([t["i1"] for t in trees])
-        params[f"s{k}/i2"] = np.stack([t["i2"] for t in trees])
-        params[f"s{k}/thresh"] = np.stack([t["thresh"] for t in trees])
+        params[f"s{k}/i1"] = np.stack([t["i1"][node_perm] for t in trees])
+        params[f"s{k}/i2"] = np.stack([t["i2"][node_perm] for t in trees])
+        params[f"s{k}/thresh"] = np.stack(
+            [t["thresh"][node_perm] for t in trees])
         params[f"s{k}/leaves"] = (
-            np.stack([t["leaves"] for t in trees]) * 2.0
+            np.stack([t["leaves"][leaf_perm] for t in trees]) * 2.0
         ).astype(np.float32)
     params["n_stages"] = int(len(forests))
     params["depth"] = int(depth if depth is not None else 3)
@@ -322,8 +357,12 @@ def write_shape_predictor(path: str, params: Dict) -> None:
 
     The ``bilinear_tail`` sampling-mode extension has no slot in dlib's
     wire format and is dropped; a re-imported cascade runs all-nearest
-    (dlib's sampling)."""
+    (dlib's sampling).  Tree heaps are mirrored back to dlib's
+    true-goes-left child order (`_mirror_heap` — an involution, so
+    write∘convert round-trips bit-exactly)."""
     n_stages = int(params["n_stages"])
+    depth = int(params["depth"])
+    node_perm, leaf_perm = _mirror_heap(depth)
     with open(path, "wb") as fp:
         w = DlibWriter(fp)
         w.write_int(1)                                   # version
@@ -332,10 +371,10 @@ def write_shape_predictor(path: str, params: Dict) -> None:
 
         w.write_uint(n_stages)
         for k in range(n_stages):
-            i1 = np.asarray(params[f"s{k}/i1"])
-            i2 = np.asarray(params[f"s{k}/i2"])
-            th = np.asarray(params[f"s{k}/thresh"])
-            leaves = np.asarray(params[f"s{k}/leaves"]) / 2.0
+            i1 = np.asarray(params[f"s{k}/i1"])[:, node_perm]
+            i2 = np.asarray(params[f"s{k}/i2"])[:, node_perm]
+            th = np.asarray(params[f"s{k}/thresh"])[:, node_perm]
+            leaves = np.asarray(params[f"s{k}/leaves"])[:, leaf_perm] / 2.0
             w.write_uint(i1.shape[0])
             for t in range(i1.shape[0]):
                 w.write_uint(i1.shape[1])

@@ -111,6 +111,21 @@ def predict_cascade(params: Dict, grays: jnp.ndarray, boxes: jnp.ndarray):
         x = cx[:, None] + pts[..., 0] * half_w[:, None]      # [N, P]
         y = cy[:, None] + pts[..., 1] * half_h[:, None]
 
+        # dlib zeroes the feature value of points falling outside the image
+        # (shape_predictor.h: ``area.contains(p) ? pixel : 0``); this
+        # cascade's native convention clamps to the border instead.
+        # Imported ``.dat`` cascades (bilinear_tail == 0) get dlib's
+        # semantics so border-adjacent boxes serve faithfully (ADVICE r4
+        # #3); natively-trained cascades keep the clamp they were trained
+        # with.
+        dlib_oob = bilinear_tail == 0
+        if dlib_oob:
+            yi_r = jnp.floor(y + 0.5)
+            xi_r = jnp.floor(x + 0.5)
+            inb = ((yi_r >= 0.0) & (yi_r <= grays.shape[1] - 1.0)
+                   & (xi_r >= 0.0) & (xi_r <= grays.shape[2] - 1.0))
+            inb = inb.astype(jnp.float32)                    # [N, P]
+
         Hc, Wc = grays.shape[1], grays.shape[2]
         if Hc * Wc <= 256 * 256:
             # dense separable sampling on the MXU: per-axis weight
@@ -120,7 +135,12 @@ def predict_cascade(params: Dict, grays: jnp.ndarray, boxes: jnp.ndarray):
             # point gathers lower to ~1 element/cycle scalar loops on
             # TPU (measured: the cascade was 93% of the extract stage);
             # at crop resolution this contraction is <1 GFLOP/stage of
-            # MXU work instead.  Exactly equal to the gather form.
+            # MXU work instead.  Matches the gather form to f32 rounding
+            # (enforced by tests/test_landmarks_parity.py) — the
+            # contractions that feed split decisions run at HIGHEST
+            # precision, because the TPU default lowers f32 matmuls to
+            # bfloat16 passes whose ~0.25-graylevel error can flip a
+            # tree decision near its threshold (ADVICE r4 #2).
             y = jnp.clip(y, 0.0, Hc - 1.0)
             x = jnp.clip(x, 0.0, Wc - 1.0)
             if not fine:
@@ -131,7 +151,8 @@ def predict_cascade(params: Dict, grays: jnp.ndarray, boxes: jnp.ndarray):
             hx = jnp.maximum(
                 0.0, 1.0 - jnp.abs(x[..., None]
                                    - jnp.arange(Wc, dtype=jnp.float32)))
-            rows = jnp.einsum("nph,nhw->npw", hy, grays)
+            rows = jnp.einsum("nph,nhw->npw", hy, grays,
+                              precision=jax.lax.Precision.HIGHEST)
             feats = jnp.sum(rows * hx, axis=-1)              # [N, P]
         else:
             # full-frame grays: the dense form would contract against
@@ -145,6 +166,8 @@ def predict_cascade(params: Dict, grays: jnp.ndarray, boxes: jnp.ndarray):
                 return g[yi, xi]
 
             feats = jax.vmap(face_feats)((x, y), jnp.arange(N))  # [N, P]
+        if dlib_oob:
+            feats = feats * inb
 
         # gather-free lockstep traversal (measured: the gather-based
         # walk — 5 small dynamic gathers per level — was ~80% of the
@@ -159,7 +182,10 @@ def predict_cascade(params: Dict, grays: jnp.ndarray, boxes: jnp.ndarray):
         P_pool = feats.shape[1]
         sel = (jax.nn.one_hot(i1.reshape(-1), P_pool, dtype=feats.dtype)
                - jax.nn.one_hot(i2.reshape(-1), P_pool, dtype=feats.dtype))
-        d_all = feats @ sel.T                                # [N, T·NODES]
+        # HIGHEST: the decision inputs must stay f32 — a bf16-pass error
+        # on feats can flip ``> thresh`` and change the whole leaf
+        d_all = jnp.dot(feats, sel.T,
+                        precision=jax.lax.Precision.HIGHEST)  # [N, T·NODES]
         bits = (d_all.reshape(N, T_trees, nodes)
                 > thresh[None, :, :]).astype(jnp.float32)    # [N, T, NODES]
         node = jnp.zeros((N, T_trees), dtype=jnp.int32)
@@ -177,8 +203,11 @@ def predict_cascade(params: Dict, grays: jnp.ndarray, boxes: jnp.ndarray):
         # per (face, stage) — the single hottest op of the whole extract
         # program (measured: cascade = 93% of extract).
         onehot = jax.nn.one_hot(leaf, n_leaves, dtype=leaves.dtype)
-        delta_sum = (onehot.reshape(N, T_trees * n_leaves)
-                     @ leaves.reshape(T_trees * n_leaves, -1))
+        # HIGHEST keeps the f32 leaf values exact through the one-hot
+        # selection (default precision would truncate them to bf16)
+        delta_sum = jnp.dot(onehot.reshape(N, T_trees * n_leaves),
+                            leaves.reshape(T_trees * n_leaves, -1),
+                            precision=jax.lax.Precision.HIGHEST)
         shape = shape + delta_sum.reshape(N, N_POINTS, 2)
 
     x = cx[:, None] + shape[..., 0] * half_w[:, None]

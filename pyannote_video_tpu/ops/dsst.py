@@ -17,9 +17,10 @@ Formulation (MOSSE numerator/denominator with multi-scale search):
     value semantics; its default kill threshold 10 (`tracking.py:107`)
     works unchanged.
 
-Scale space: the translation filter is evaluated at S relative scales and
-the best response selects the scale step (a collapsed variant of DSST's
-separate 1-D scale filter; same behaviour at face-video scale dynamics).
+Scale space: a separate 1-D MOSSE filter over SCALE_N geometric scale
+samples of the target (DSST's own design, dimensioned after fDSST — see
+the scale-filter constants below); the translation filter runs at a
+single scale.
 """
 
 from __future__ import annotations
@@ -50,12 +51,14 @@ PSR_WINDOW = 5         # half-size of the peak exclusion window for PSR
 # Dimensioned after fDSST (Danelljan's own accelerated DSST): the round-3
 # 33-sample × 16² -feature filter was 55% of the whole tracking scan's
 # device time (measured; the resample stacks dominate).  fDSST halves the
-# sample count and recovers sub-bin accuracy by interpolating the
-# response around its peak — here a parabolic (quadratic) fit over the
-# circular response, clipped to ±½ bin.  Together with 8²-px sample
-# features (64 dims — fDSST compresses to 17 by PCA; intensity features
-# need a little more) the scale stage costs ~4× less with the zoom
-# tracking error still inside the 10% test bound at 3%/frame zoom.
+# sample count; its parabolic sub-bin response interpolation was tried
+# and REVERTED — on static targets the fit's ±½-bin noise random-walks
+# the size ~1%/frame, so the peak is read by integer-bin argmax (the
+# quantisation is the deadzone; see the scale-response block in `_step`).
+# Together with 8²-px sample features (64 dims — fDSST compresses to 17
+# by PCA; intensity features need a little more) the scale stage costs
+# ~4× less with the zoom tracking error still inside the 10% test bound
+# at 3%/frame zoom.
 SCALE_N = 17           # scale samples per frame (fDSST: 17 vs DSST's 33)
 SCALE_STEP = 1.02      # geometric spacing: factors SCALE_STEP**(n-8)
 SCALE_FEAT = 8         # each sample resized to 8×8 → 64 features

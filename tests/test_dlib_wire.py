@@ -178,6 +178,130 @@ class TestStringWire:
         assert _reader(b"\x01\x06affine").read_string() == "affine"
 
 
+class TestShapePredictorContainer:
+    """Container-walk fixture one level above the primitives: a minimal
+    shape_predictor ``.dat`` hand-assembled in dlib's field order
+    (dlib/image_processing/shape_predictor.h ``serialize``: version,
+    initial_shape, forests, anchor_idx, deltas), with asymmetric leaves so
+    traversal polarity is observable.
+
+    dlib's regression_tree sends ``feats[idx1] − feats[idx2] > thresh`` to
+    the LEFT child 2i+1; `landmarks.predict_cascade` sends the true
+    comparison RIGHT.  The converter must mirror each tree's heap so both
+    traversals pick the same leaf (ADVICE r4 #1 — the unmirrored import
+    picked the wrong subtree at every node, invisible to round-trip tests
+    because writer and reader shared the traversal)."""
+
+    DEPTH = 2
+    N_SPLITS = 3   # 2^2 - 1
+    N_LEAVES = 4
+    N_POINTS = 68  # predict_cascade's fixed landmark count
+
+    # dlib heap order: node0 root, node1 left, node2 right.
+    # (idx1, idx2, thresh) — thresholds 0 so sign(f[i1]-f[i2]) routes.
+    SPLITS = [(0, 1, 0.0), (2, 3, 0.0), (4, 5, 0.0)]
+    N_POOL = 6
+
+    def _fixture_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        w = DlibWriter(buf)
+        w.write_int(1)                              # version
+        # initial_shape: [2*68, 1] interleaved, dyadic values (exact f32
+        # through the [0,1]² ↔ [-1,1]² coordinate conversion)
+        init = np.linspace(0.25, 0.75, 2 * self.N_POINTS, dtype=np.float32)
+        init = np.round(init * 64.0) / 64.0
+        w.write_matrix(init.reshape(-1, 1).astype(np.float32))
+        w.write_uint(1)                             # forests: 1 stage
+        w.write_uint(1)                             # 1 tree
+        w.write_uint(self.N_SPLITS)
+        for i1, i2, th in self.SPLITS:
+            w.write_uint(i1)
+            w.write_uint(i2)
+            w.write_float(th)
+        w.write_uint(self.N_LEAVES)
+        for leaf in range(self.N_LEAVES):           # leaf j = constant j+1
+            w.write_matrix(np.full((2 * self.N_POINTS, 1), leaf + 1.0,
+                                   dtype=np.float32))
+        w.write_uint(1)                             # anchor_idx: 1 stage
+        w.write_uint(self.N_POOL)
+        for p in range(self.N_POOL):
+            w.write_uint(p % self.N_POINTS)
+        w.write_uint(1)                             # deltas: 1 stage
+        w.write_uint(self.N_POOL)
+        for p in range(self.N_POOL):
+            w.write_float(0.25)                     # dyadic
+            w.write_float(-0.5)
+        return buf.getvalue()
+
+    @staticmethod
+    def _dlib_traverse(splits, feats):
+        """dlib regression_tree::operator() — true goes LEFT (2i+1)."""
+        i = 0
+        n = len(splits)
+        while i < n:
+            i1, i2, th = splits[i]
+            i = 2 * i + 1 if feats[i1] - feats[i2] > th else 2 * i + 2
+        return i - n
+
+    @staticmethod
+    def _cascade_traverse(i1, i2, th, feats, depth):
+        """landmarks.predict_cascade's walk — true goes RIGHT (2i+2)."""
+        node = 0
+        for _ in range(depth):
+            b = 1 if feats[i1[node]] - feats[i2[node]] > th[node] else 0
+            node = 2 * node + 1 + b
+        return node - (len(i1))
+
+    def test_imported_tree_picks_dlibs_leaf(self, tmp_path):
+        from pyannote_video_tpu.models.dlib_convert import (
+            convert_shape_predictor,
+        )
+
+        path = tmp_path / "sp.dat"
+        path.write_bytes(self._fixture_bytes())
+        params = convert_shape_predictor(str(path))
+        assert params["n_stages"] == 1
+        assert params["depth"] == self.DEPTH
+        assert params["bilinear_tail"] == 0
+
+        i1 = np.asarray(params["s0/i1"])[0]
+        i2 = np.asarray(params["s0/i2"])[0]
+        th = np.asarray(params["s0/thresh"])[0]
+        leaves = np.asarray(params["s0/leaves"])[0]   # [4, 136], dlib×2
+
+        # feature vectors routing to each of dlib's 4 leaves, plus randoms
+        rng = np.random.default_rng(7)
+        feat_sets = [
+            np.asarray([1.0, 0, 1, 0, 9, 9]),   # root T, node1 T → leaf 0
+            np.asarray([1.0, 0, 0, 1, 9, 9]),   # root T, node1 F → leaf 1
+            np.asarray([0.0, 1, 9, 9, 1, 0]),   # root F, node2 T → leaf 2
+            np.asarray([0.0, 1, 9, 9, 0, 1]),   # root F, node2 F → leaf 3
+        ] + [rng.normal(size=6) for _ in range(20)]
+        for feats in feat_sets:
+            want = self._dlib_traverse(self.SPLITS, feats)
+            got = self._cascade_traverse(i1, i2, th, feats, self.DEPTH)
+            np.testing.assert_array_equal(
+                leaves[got], np.full((136,), 2.0 * (want + 1.0)),
+                err_msg=f"feats={feats}: dlib picks leaf {want}")
+
+    def test_export_round_trips_byte_exact(self, tmp_path):
+        """write∘convert reproduces the hand-built container bit-for-bit
+        (dyadic values make every coordinate conversion exact, so any
+        drift is a field-order/permutation bug)."""
+        from pyannote_video_tpu.models.dlib_convert import (
+            convert_shape_predictor,
+            write_shape_predictor,
+        )
+
+        raw = self._fixture_bytes()
+        src = tmp_path / "sp.dat"
+        src.write_bytes(raw)
+        params = convert_shape_predictor(str(src))
+        out = tmp_path / "sp_out.dat"
+        write_shape_predictor(str(out), params)
+        assert out.read_bytes() == raw
+
+
 class TestMmodMetadata:
     def test_multi_window_loss_mmod(self, tmp_path):
         """>1 detector window in loss_mmod metadata survives the container
