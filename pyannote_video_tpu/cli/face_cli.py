@@ -191,8 +191,22 @@ def track(video, shot_path, output,
             merge_tracking_parts(output, world, wait_s=3600.0,
                                  include_existing=resume)
     else:
+        # the hot path: streaming architecture (overlapped decode →
+        # YUV420 transfer → device compute, `pipeline/streaming.py`) —
+        # same outputs as the per-shot legacy loop, which remains for
+        # multi-worker runs and custom detectors (PYV_NO_STREAM=1 forces
+        # it for A/B comparison)
+        legs = None
+        use_stream = os.environ.get("PYV_NO_STREAM") != "1"
+        if use_stream:
+            from ..pipeline.streaming import StreamLegs, stream_tracks
+
+            legs = StreamLegs()
+            track_iter = stream_tracks(tracking, video, shots, legs=legs)
+        else:
+            track_iter = tracking(video, shots)
         with open(output, "a" if resume else "w") as foutput:
-            for offset, trk in enumerate(tracking(video, shots)):
+            for offset, trk in enumerate(track_iter):
                 identifier = next_id + offset
                 for t, (left, top, right, bottom), status in trk:
                     foutput.write(formats.FACE_TEMPLATE.format(
@@ -200,6 +214,8 @@ def track(video, shot_path, output,
                         left=left, right=right, top=top, bottom=bottom))
                 stats.add(n=len(trk), tracks=1)
                 foutput.flush()
+        if verbose and legs is not None:
+            print("stream legs:", legs.as_dict(), file=sys.stderr)
     if verbose:
         print(stats.finish(), file=sys.stderr)
 
@@ -208,21 +224,24 @@ EXTRACT_FACES_PER_BATCH = 64  # padded face slots per device dispatch
 
 
 def extract(video, landmark_model, embedding_model, tracking_path,
-            landmark_output, embedding_output, exact_chips=False):
+            landmark_output, embedding_output, exact_chips=False,
+            verbose=False):
     """Landmarks + embeddings for tracked faces (reference
     `pyannote-face.py:271-314`).
 
-    TPU execution model: faces from MANY timestamps are packed into
-    fixed-size batches (frames gathered once per chunk, faces padded to
-    ``EXTRACT_FACES_PER_BATCH``) so the whole stage runs a handful of
-    compiled programs rather than one device round-trip per frame —
-    the reference's per-face dlib loop shape (`pyannote-face.py:294-311`)
-    is latency-bound on an accelerator.
+    TPU execution model (`pipeline/streaming.py:stream_extract`): ONE
+    sequential decode pass pipelined against YUV420 transfer and device
+    compute; landmarks + chip warp + ResNet-29 run as one jitted program
+    per batch with chips sampled straight from the YUV planes — the
+    reference's per-face dlib loop (`pyannote-face.py:294-311`) is
+    latency-bound on an accelerator, and the pre-r5 per-chunk random
+    access (`video(T)` seeks + synchronous RGB uploads) was
+    transfer-bound.  ``PYV_NO_STREAM=1`` selects the legacy chunked
+    random-access path.
     """
-    import jax.numpy as jnp
+    import os
 
     from ..core import formats
-    from ..models.chip import extract_chips, extract_chips_exact
     from ..models.embedder import FaceEmbedder
     from ..models.landmarks import LandmarkPredictor
 
@@ -231,6 +250,39 @@ def extract(video, landmark_model, embedding_model, tracking_path,
     predictor = LandmarkPredictor(landmark_model or None)
     embedder = FaceEmbedder(embedding_model or None)
 
+    if os.environ.get("PYV_NO_STREAM") == "1":
+        return _extract_legacy(video, predictor, embedder, points,
+                               landmark_output, embedding_output,
+                               exact_chips)
+
+    from ..pipeline.streaming import StreamLegs, stream_extract
+
+    legs = StreamLegs()
+    with open(landmark_output, "w") as flandmark, \
+         open(embedding_output, "w") as fembedding:
+        for T, p, lm, emb in stream_extract(
+                video, points, predictor, embedder,
+                exact_chips=exact_chips, legs=legs):
+            norm = lm / np.asarray([frame_width, frame_height])
+            formats.write_landmarks_line(flandmark, T, p.identifier, norm)
+            formats.write_embedding_line(fembedding, T, p.identifier, emb)
+            flandmark.flush()
+            fembedding.flush()
+    if verbose:
+        print("stream legs:", legs.as_dict(), file=sys.stderr)
+
+
+def _extract_legacy(video, predictor, embedder, points,
+                    landmark_output, embedding_output, exact_chips):
+    """Pre-r5 extract: chunked random access (``video(T)`` per unique
+    timestamp) + synchronous RGB uploads.  Kept as the A/B reference for
+    the streaming path and for non-seekable custom sources."""
+    import jax.numpy as jnp
+
+    from ..core import formats
+    from ..models.chip import extract_chips, extract_chips_exact
+
+    frame_width, frame_height = video.frame_size
     grouped = list(formats.iter_tracking_by_time(points))
     # flatten to (T, point) preserving group order
     flat = [(T, p) for T, group in grouped for p in group]
@@ -486,7 +538,8 @@ def main(argv=None):
         extract(video, arguments["<landmark_model>"],
                 arguments["<embedding_model>"], arguments["<tracking>"],
                 arguments["<landmarks>"], arguments["<embeddings>"],
-                exact_chips=bool(arguments["--exact-chips"]))
+                exact_chips=bool(arguments["--exact-chips"]),
+                verbose=verbose)
 
     if arguments["demo"]:
         t_end = arguments["--until"]

@@ -432,6 +432,16 @@ class TrackingByDetection:
 
         grays = to_gray(jnp.asarray(frames))
 
+        yield from self._process_shot_device(grays, ts, detections)
+
+    def _process_shot_device(self, grays: jnp.ndarray, ts: np.ndarray,
+                             detections: Dict[int, List[Box]]
+                             ) -> Iterator[List[Point]]:
+        """Scan + merge a shot whose grays are ALREADY on device (the
+        streaming CLI path computes gray from shipped YUV planes,
+        `pipeline/streaming.py`, so no full-RGB upload happens here)."""
+        if int(grays.shape[0]) == 0:
+            return
         fwd, bwd = self._track_passes(grays, ts, detections)
 
         tracks = [self._fix(trk) for trk in self._merge_passes(fwd, bwd)]
