@@ -107,7 +107,7 @@ def track(video, shot_path, output,
           track_min_overlap_ratio=MIN_OVERLAP_RATIO,
           track_min_confidence=MIN_CONFIDENCE,
           track_max_gap=MAX_GAP, resume=False, verbose=False,
-          rank=0, world=1, coordinator=None):
+          rank=0, world=1, coordinator=None, legs=None):
     """Tracking by detection (reference `pyannote-face.py:239-269`).
 
     With ``resume=True``, restarts from the shot containing the last
@@ -196,12 +196,11 @@ def track(video, shot_path, output,
         # same outputs as the per-shot legacy loop, which remains for
         # multi-worker runs and custom detectors (PYV_NO_STREAM=1 forces
         # it for A/B comparison)
-        legs = None
         use_stream = os.environ.get("PYV_NO_STREAM") != "1"
         if use_stream:
             from ..pipeline.streaming import StreamLegs, stream_tracks
 
-            legs = StreamLegs()
+            legs = StreamLegs() if legs is None else legs
             track_iter = stream_tracks(tracking, video, shots, legs=legs)
         else:
             track_iter = tracking(video, shots)
@@ -225,7 +224,7 @@ EXTRACT_FACES_PER_BATCH = 64  # padded face slots per device dispatch
 
 def extract(video, landmark_model, embedding_model, tracking_path,
             landmark_output, embedding_output, exact_chips=False,
-            verbose=False):
+            verbose=False, legs=None):
     """Landmarks + embeddings for tracked faces (reference
     `pyannote-face.py:271-314`).
 
@@ -257,7 +256,7 @@ def extract(video, landmark_model, embedding_model, tracking_path,
 
     from ..pipeline.streaming import StreamLegs, stream_extract
 
-    legs = StreamLegs()
+    legs = StreamLegs() if legs is None else legs
     with open(landmark_output, "w") as flandmark, \
          open(embedding_output, "w") as fembedding:
         for T, p, lm, emb in stream_extract(

@@ -67,7 +67,9 @@ class StreamLegs:
     feed_wait_s: float = 0.0  # main thread starved waiting for batches
     dispatch_s: float = 0.0  # main thread: program dispatch
     sync_s: float = 0.0      # main thread: device sync/readback
-    host_s: float = 0.0      # main thread: NMS, merge/fix/gaps, file write
+    scan_s: float = 0.0      # main thread: per-shot fwd/bwd scans (device
+                             # dispatch + packed readback) + merge/fix/gaps
+    host_s: float = 0.0      # main thread: NMS, bookkeeping, file write
     wall_s: float = 0.0
 
     def as_dict(self) -> dict:
@@ -83,10 +85,11 @@ class StreamLegs:
             "feed_wait_s": round(self.feed_wait_s, 3),
             "dispatch_s": round(self.dispatch_s, 3),
             "sync_s": round(self.sync_s, 3),
+            "scan_s": round(self.scan_s, 3),
             "host_s": round(self.host_s, 3),
         }
         main = (self.feed_wait_s + self.dispatch_s + self.sync_s
-                + self.host_s)
+                + self.scan_s + self.host_s)
         legs["main_thread_s"] = round(main, 3)  # ≈ wall when main binds
         return legs
 
@@ -328,17 +331,19 @@ def stream_tracks(engine, video, segmentation,
             base += n_valid
             legs.frames += n_valid
             legs.batches += 1
+            legs.host_s += time.perf_counter() - td
+            td = time.perf_counter()
             for grays_shot, ts_shot, dets_shot in shots:
                 for track in engine._process_shot_device(
                         grays_shot, ts_shot, dets_shot):
                     yield engine._normalize_track(track, fw, fh)
-            legs.host_s += time.perf_counter() - td
+            legs.scan_s += time.perf_counter() - td
         td = time.perf_counter()
         for grays_shot, ts_shot, dets_shot in assembler.finish():
             for track in engine._process_shot_device(
                     grays_shot, ts_shot, dets_shot):
                 yield engine._normalize_track(track, fw, fh)
-        legs.host_s += time.perf_counter() - td
+        legs.scan_s += time.perf_counter() - td
     finally:
         video.frame_size = old_frame_size
         legs.wall_s = time.perf_counter() - t_wall

@@ -170,5 +170,6 @@ def test_stream_legs_add_up(clip, tmp_path, no_stream):
         pass
     d = legs.as_dict()
     assert d["frames"] == 24
-    main = (d["feed_wait_s"] + d["dispatch_s"] + d["sync_s"] + d["host_s"])
+    main = (d["feed_wait_s"] + d["dispatch_s"] + d["sync_s"]
+            + d["scan_s"] + d["host_s"])
     assert abs(main - d["wall_s"]) < 0.15 * d["wall_s"] + 0.25
