@@ -83,18 +83,80 @@ def init_params(key) -> Params:
     }
 
 
+def s2d_stem_weights(c1: Params) -> Params:
+    """Space-to-depth repack of the stride-2 5×5 stem — EXACT transform.
+
+    The first conv is the pyramid's bandwidth anomaly: 3 input channels
+    at full level resolution with stride 2, the worst shape for the MXU's
+    lane tiling.  Repacking 2×2 pixel blocks into channels turns it into
+    a stride-1 3×3 conv over 12 channels on a half-resolution grid — the
+    same dot products in a tiling-friendly layout.  Derivation (symmetric
+    pad 2, the `nn.conv` dlib_padding=False convention):
+    ``out(y) = Σ_ky w[ky]·in(2y+ky−2)`` and ``sd(y', a) = in(2y'+a)``
+    give ``in(2y+ky−2) = sd(y−1+⌊ky/2⌋, ky mod 2)`` — a 3-tap stride-1
+    kernel with pad 1, zero at (tap 2, parity 1).  Exactness is pinned by
+    tests/test_models.py (s2d parity).
+    """
+    w = np.asarray(c1["w"])                       # [5, 5, C, O]
+    kh, kw, C, O = w.shape
+    assert kh == 5 and kw == 5, "s2d transform is derived for 5×5 stems"
+    w2 = np.zeros((3, 3, 4 * C, O), dtype=w.dtype)
+    for ky in range(5):
+        for kx in range(5):
+            ch = ((ky % 2) * 2 + (kx % 2)) * C
+            w2[ky // 2, kx // 2, ch:ch + C] = w[ky, kx]
+    return {"w": jnp.asarray(w2), "b": jnp.asarray(np.asarray(c1["b"]))}
+
+
+def with_s2d_stem(params: Params) -> Params:
+    """Serving-time param set with the derived space-to-depth stem.
+
+    Derived, never trained or serialized: trainers and the ``.dat``
+    exporters see only the canonical 5×5 stem.  ``PYV_NO_S2D=1`` keeps
+    the plain stride-2 stem (A/B kill switch).
+    """
+    import os
+
+    if os.environ.get("PYV_NO_S2D") == "1" or "c1_s2d" in params:
+        return params
+    return {**params, "c1_s2d": s2d_stem_weights(params["c1"])}
+
+
+def _space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] → [B, ⌈H/2⌉, ⌈W/2⌉, 4C] (zero-padding odd dims —
+    equivalent to the stride-2 conv's own high-side padding)."""
+    B, H, W, C = x.shape
+    if H % 2 or W % 2:
+        x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        H, W = x.shape[1], x.shape[2]
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
 def forward_maps(params: Params, images: jnp.ndarray, train: bool = False,
                  compute_dtype=jnp.bfloat16):
     """FCN forward: images [B, h, w, 3] float → maps [B, h/8, w/8, 5].
 
     Returns (maps, updated_params); params change only in train mode.
+    When the params carry a ``c1_s2d`` entry (derived at load time by
+    `FaceDetector`, never trained or serialized), the stem runs the
+    space-to-depth form — identical outputs, better MXU tiling.
     """
     # normalize in the compute dtype: a float32 materialization of the
     # full-resolution level would double its HBM traffic
     x = images.astype(compute_dtype) / 256.0 - 0.5
     new: Dict[str, Params] = {}
-    h = x
-    for i, stride in zip(range(1, 7), (2, 2, 2, 1, 1, 1)):
+    if "c1_s2d" in params and not train:
+        h = conv(params["c1_s2d"], _space_to_depth2(x), stride=1,
+                 dlib_padding=False, compute_dtype=compute_dtype)
+        h, new["bn1"] = batch_norm(params["bn1"], h, train=False)
+        h = jax.nn.relu(h)
+        rest = (2, 2, 1, 1, 1)
+    else:
+        h = x
+        rest = (2, 2, 2, 1, 1, 1)
+    for i, stride in zip(range(7 - len(rest), 7), rest):
         h = conv(params[f"c{i}"], h, stride=stride, dlib_padding=False,
                  compute_dtype=compute_dtype)
         h, bn = batch_norm(params[f"bn{i}"], h, train=train)
@@ -220,6 +282,7 @@ class FaceDetector:
             from .weights import default_detector_params
 
             self.params = default_detector_params()
+        self.params = with_s2d_stem(self.params)
         self.threshold = threshold
         self.upsample = upsample
         self.nms_iou = nms_iou

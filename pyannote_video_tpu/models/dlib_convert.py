@@ -420,7 +420,9 @@ RESNET29_LAYER_STACK = [
 ]
 
 # Serialized net container: tag string per node, then that node's fields.
-# Parameter-bearing tags and their field layouts (input→output order):
+# Parameter-bearing tags and their field layouts (input→output order —
+# dlib's add_layer serializes its subnetwork before its own details, so
+# the stream runs input→output like this walk):
 #   "con"    : out_ch uint, in_ch uint, nr uint, nc uint, stride_y uint,
 #              stride_x uint, filters matrix [out_ch, in_ch*nr*nc],
 #              biases matrix [1, out_ch]
@@ -429,6 +431,16 @@ RESNET29_LAYER_STACK = [
 # Structural tags carry no fields: "input", "relu", "max_pool",
 # "avg_pool", "add_prev", "loss_metric".  The stream ends after
 # "loss_metric".
+#
+# FIDELITY NOTE (PARITY.md "validation against genuine dlib bytes"): the
+# layer ORDER, parameter blobs (row-major [out, in*nr*nc] filters) and
+# the primitive encodings below them are pinned to dlib's documented
+# formats; the per-layer framing granularity (version-suffixed tag
+# strings, tensor headers, padding fields of dlib's DNN layer
+# serializers) is a simplification that only a genuine ``.dat`` file can
+# settle — none exists in this environment.  The shape_predictor
+# container above IS byte-faithful (pinned by a hand-built fixture,
+# tests/test_dlib_wire.py).
 
 
 def convert_face_recognition(path: str) -> Dict:

@@ -91,7 +91,8 @@ class FusedFacePipeline:
         from .weights import default_detector_params, default_embedder_params
         from .landmarks import LandmarkPredictor
 
-        self.detector_params = detector_params or default_detector_params()
+        self.detector_params = det.with_s2d_stem(
+            detector_params or default_detector_params())
         self.embedder_params = embedder_params or default_embedder_params()
         if landmark_params is None:
             landmark_params = LandmarkPredictor().params

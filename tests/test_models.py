@@ -80,6 +80,31 @@ class TestDetector:
             false_positives += len(d.detect_batch(frame[None])[0])
         assert false_positives <= 2  # rare noise at the default threshold
 
+    @pytest.mark.parametrize("hw", [(64, 64), (63, 65), (50, 88)])
+    def test_s2d_stem_matches_plain(self, hw):
+        """The space-to-depth stem is an EXACT reformulation of the
+        stride-2 5×5 first conv (`detector.s2d_stem_weights`) — including
+        odd level dims, which even-pad like the conv's own high padding."""
+        p = det.init_params(jax.random.PRNGKey(3))
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(
+            rng.uniform(0, 255, size=(2, *hw, 3)).astype(np.float32))
+        plain, _ = det.forward_maps(p, x, compute_dtype=jnp.float32)
+        p2 = det.with_s2d_stem(p)
+        assert "c1_s2d" in p2
+        s2d, _ = det.forward_maps(p2, x, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(s2d), np.asarray(plain),
+                                   atol=2e-4)
+
+    def test_s2d_train_mode_uses_canonical_stem(self):
+        """Training must ignore the derived stem (BN stats and gradients
+        flow through the canonical 5×5 conv)."""
+        p = det.with_s2d_stem(det.init_params(jax.random.PRNGKey(0)))
+        maps, newp = det.forward_maps(p, jnp.zeros((1, 64, 64, 3)),
+                                      train=True)
+        assert maps.shape == (1, 8, 8, 5)
+        assert "c1_s2d" in newp  # passed through untouched
+
 
 class TestChip:
     def test_canonical_layout(self):
