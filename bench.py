@@ -828,20 +828,28 @@ def main():
         "detect": _roofline_entry(
             fd, bd, t_det, floor_s, peaks,
             "MXU underfill: 3-45-channel convs fill <2% of the 128x128 "
-            "systolic array; space-to-depth repacking of the stride-2 "
-            "stem (exact weight transform) is the next 2x"),
+            "systolic array; the stride-2 stem runs space-to-depth "
+            "repacked since r5 (exact transform, models/detector.py:"
+            "s2d_stem_weights) — the residual underfill is the 16-45 "
+            "channel body, whose widening was measured 20% slower "
+            "end-to-end (bandwidth-bound, detector.py:init_params)"),
         "track": _roofline_entry(
             2 * ft1, 2 * bt1, t_track, floor_s, peaks,
             "sequential scan latency: 128 dependent steps of "
             "gather+FFT+state math, each microseconds of vector work; "
-            "the next 2x is fewer/wider steps (batch independent shots "
-            "into the scan) not faster kernels"),
+            "multi-shot scan lanes were MEASURED 20% slower (per-lane "
+            "state slice/update traffic, r4 — pipeline/tracking.py), so "
+            "the remaining lever is overlapping independent shots' scans "
+            "via async dispatch, which the streaming pipeline already does"),
         "extract": _roofline_entry(
             fe, be, t_extract, floor_s, peaks,
             "sequential cascade stages: 15 dependent rounds of dense "
             "separable sampling + one-hot tree matmuls (each MXU-light); "
-            "next 2x = bf16 hat/selector contractions and batching faces "
-            "across shots so each stage's matmuls run wider"),
+            "bf16 contractions were REJECTED — the decision-feeding "
+            "matmuls must stay f32 or splits flip near thresholds "
+            "(ADVICE r4, models/landmarks.py); remaining next 2x = "
+            "batching faces across shots so each stage's matmuls run "
+            "wider"),
     }
     if peaks is not None:
         roofline["peak_bf16_tflops"], roofline["peak_hbm_gbps"] = peaks
