@@ -139,7 +139,15 @@ def _draw_clutter(bg: np.ndarray, rng: np.random.Generator,
     rr = np.sqrt(((gx - cx) / half) ** 2 + ((gy - cy) / half) ** 2)
     region = bg[y0:y1, x0:x1]
     kind = int(rng.integers(0, 4))
-    color = rng.uniform(40, 245, size=3)
+    # bias toward pale low-saturation objects (p=0.4): bright dials,
+    # plates, panels are the hardest real-world distractor palette —
+    # v4's top wide-probe FPs were all near-white discs (r5, measured
+    # +9.7 logits), and uniform-hue sampling makes that corner rare
+    if rng.random() < 0.4:
+        base = rng.uniform(170, 245)
+        color = base + rng.uniform(-18, 18, size=3)
+    else:
+        color = rng.uniform(40, 245, size=3)
     if kind == 0:        # filled disc
         region[rr <= 1.0] = color
     elif kind == 1:      # ring / annulus
@@ -168,7 +176,8 @@ def _draw_clutter(bg: np.ndarray, rng: np.random.Generator,
         sm = (gx - sx) ** 2 + (gy - sy) ** 2 <= sr ** 2
         region[sm] = rng.uniform(0, 70, size=3)
 
-    if rng.random() < 0.3:
+    u = rng.random()
+    if u < 0.3:
         dx = rng.uniform(0.25, 0.5) * half
         dy = rng.uniform(0.15, 0.45) * half
         sr = rng.uniform(0.05, 0.14) * size
@@ -180,6 +189,15 @@ def _draw_clutter(bg: np.ndarray, rng: np.random.Generator,
             spot(cx + rng.uniform(-0.1, 0.1) * half,
                  cy + rng.uniform(0.25, 0.55) * half,
                  sr * rng.uniform(0.8, 1.6))
+    elif u < 0.65:
+        # annular (dial/button-panel) placement: k marks on a random
+        # ring — at certain angle draws two land "eyes"-high and one
+        # low, the exact configuration the scatter mode under-samples
+        # (v4's residual FP family)
+        ring = rng.uniform(0.35, 0.85) * half
+        for a in rng.uniform(0, 2 * np.pi, size=int(rng.integers(2, 7))):
+            spot(cx + ring * np.cos(a), cy + ring * np.sin(a),
+                 rng.uniform(0.04, 0.16) * size)
     else:
         for _ in range(int(rng.integers(0, 6))):
             spot(cx + rng.uniform(-0.7, 0.7) * half,

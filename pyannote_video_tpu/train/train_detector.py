@@ -37,8 +37,15 @@ MARGIN_POS = 8.0
 MARGIN_POS_HARD = 6.0
 MARGIN_NEG = 0.0
 MARGIN_W = 0.5
-NEG_MINE_K = 24      # hard-negative cells mined per image (was 8: too few —
-                     # serve-time probes found 10x that many firing cells)
+# negative-hinge weight multiplier: the r5 v4 fine-tune showed the
+# positive hinge dragging decoy scores up with the hard positives
+# (wide-probe fp_max 4.6 → 9.8 while real_min rose 0.8 → 8.8); the
+# asymmetric extra pressure on mined negatives is what pushes the
+# decoy tail back down without giving up the positive floor
+NEG_HINGE_W = 3.0
+NEG_MINE_K = 32      # hard-negative cells mined per image (was 8: too few —
+                     # serve-time probes found 10x that many firing cells;
+                     # r5: 24 → 32, the decoy tail needs more coverage)
 # upper anchor on positive logits: without it, fine-tuning inflates the
 # whole logit scale (BCE keeps pushing easy positives up without bound;
 # a measured 800-step fine-tune blew p5 from 7 to 28 logits and dragged
@@ -85,7 +92,7 @@ def loss_fn(params, frames, labels, deltas, delta_mask, hard):
     neg_hinge = jnp.where(pos | (labels < 0.0), 0.0,
                           jnp.maximum(logits - MARGIN_NEG, 0.0))
     top_hinge, _ = jax.lax.top_k(neg_hinge.reshape(B, -1), NEG_MINE_K)
-    cls_loss = cls_loss + 2.0 * MARGIN_W * jnp.mean(top_hinge)
+    cls_loss = cls_loss + NEG_HINGE_W * MARGIN_W * jnp.mean(top_hinge)
 
     reg_err = pred_deltas - deltas
     huber = jnp.where(jnp.abs(reg_err) < 1.0, 0.5 * reg_err ** 2,
@@ -163,22 +170,28 @@ def train(steps: int = 600, batch: int = 16, size: int = 128,
 
 
 def main():
-    """usage: train_detector [steps] [out.npz] [--resume] [--lr=3e-4]
+    """usage: train_detector [steps] [out.npz] [--resume] [--init=ckpt.npz]
+                             [--lr=3e-4]
 
     ``--resume`` continues from the packaged checkpoint (fresh optimizer);
-    fine-tunes want a colder ``--lr`` (1e-4) than from-scratch training.
+    ``--init=<path>`` continues from an arbitrary checkpoint (e.g. chained
+    fine-tune rounds).  Fine-tunes want a colder ``--lr`` (1e-4) than
+    from-scratch training.
     """
     from ..models.nn import load_params
     from ..models.weights import DETECTOR_FILE
 
     args = [a for a in sys.argv[1:]
-            if a != "--resume" and not a.startswith("--lr=")]
+            if a != "--resume" and not a.startswith(("--lr=", "--init="))]
     resume = "--resume" in sys.argv[1:]
+    init_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                      if a.startswith("--init=")),
+                     str(DETECTOR_FILE) if resume else None)
     lr = next((float(a.split("=", 1)[1]) for a in sys.argv[1:]
                if a.startswith("--lr=")), 3e-4)
     steps = int(args[0]) if len(args) > 0 else 600
     out = args[1] if len(args) > 1 else str(DETECTOR_FILE)
-    init = load_params(str(DETECTOR_FILE)) if resume else None
+    init = load_params(init_path) if init_path else None
     params = train(steps=steps, init_params=init, lr=lr)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     save_params(out, params)

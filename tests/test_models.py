@@ -459,8 +459,11 @@ class TestTrainData:
                 assert -1.0 <= l < r <= 129.0
                 assert -1.0 <= t < b <= 129.0
                 # ... and face heights stay inside the detector's window
-                # band regardless of the render super-scale
-                assert WINDOW * 0.8 <= (b - t) <= WINDOW * 1.25
+                # band regardless of the render super-scale.  Pre-affine
+                # heights are WINDOW·U(0.85, 1.2); the pose affine then
+                # scales vertically by AUG_YSCALE (0.85, 1.18) with
+                # roll/shear mixing — the invariant is the product band
+                assert WINDOW * 0.6 <= (b - t) <= WINDOW * 1.2 * 1.18 * 1.05
         assert n_faces > 0
 
     def test_embedding_batch_resample_range(self):
