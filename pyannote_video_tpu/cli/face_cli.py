@@ -168,23 +168,45 @@ def track(video, shot_path, output,
     stats = StageStats("track")
 
     if world > 1:
-        # shot-sharded worker: my shots only, each tracked on its own
-        # time window (assigned shots are non-contiguous)
-        my_shots = [s for i, s in enumerate(shots) if i % world == rank]
-        old_start, old_end = video.start, video.end
+        # shot-sharded worker: segments with index mod world == rank.
+        # The streaming path plans over the FULL frame grid (decode is
+        # sequential anyway and overlaps compute) and drops unassigned
+        # shots before any device work — so every worker's frame
+        # partition, detections and scans are bit-identical to the
+        # single-worker streaming run, and the merged parts reproduce it
+        # exactly.  The legacy per-shot seek loop remains for custom
+        # detectors and PYV_NO_STREAM=1.
+        use_stream = (os.environ.get("PYV_NO_STREAM") != "1"
+                      and tracking.detect_func is None)
+        if use_stream:
+            from ..pipeline.streaming import StreamLegs, stream_tracks
+
+            legs = StreamLegs() if legs is None else legs
+
+            def _my_tracks():
+                return stream_tracks(
+                    tracking, video, shots, legs=legs,
+                    segment_filter=lambda i: i % world == rank)
+        else:
+            def _my_tracks():
+                my_shots = [s for i, s in enumerate(shots)
+                            if i % world == rank]
+                old_start, old_end = video.start, video.end
+                try:
+                    for seg in my_shots:
+                        video.start, video.end = seg.start, seg.end
+                        yield from tracking(video, [seg])
+                finally:
+                    video.start, video.end = old_start, old_end
+
         with open(part_path(output, rank), "w") as foutput:
-            identifier = 0
-            for seg in my_shots:
-                video.start, video.end = seg.start, seg.end
-                for trk in tracking(video, [seg]):
-                    for t, (left, top, right, bottom), status in trk:
-                        foutput.write(formats.FACE_TEMPLATE.format(
-                            t=t, identifier=identifier, status=status,
-                            left=left, right=right, top=top, bottom=bottom))
-                    identifier += 1
-                    stats.add(n=len(trk), tracks=1)
+            for identifier, trk in enumerate(_my_tracks()):
+                for t, (left, top, right, bottom), status in trk:
+                    foutput.write(formats.FACE_TEMPLATE.format(
+                        t=t, identifier=identifier, status=status,
+                        left=left, right=right, top=top, bottom=bottom))
+                stats.add(n=len(trk), tracks=1)
                 foutput.flush()
-        video.start, video.end = old_start, old_end
         if rank == 0:
             # include_existing folds the pre-restart tracks kept by
             # --resume into the merge (the merge rewrites `output`)
@@ -193,9 +215,10 @@ def track(video, shot_path, output,
     else:
         # the hot path: streaming architecture (overlapped decode →
         # YUV420 transfer → device compute, `pipeline/streaming.py`) —
-        # same outputs as the per-shot legacy loop, which remains for
-        # multi-worker runs and custom detectors (PYV_NO_STREAM=1 forces
-        # it for A/B comparison)
+        # same track semantics as the per-shot legacy loop (which
+        # remains for custom detectors; PYV_NO_STREAM=1 forces it for
+        # A/B comparison) with gray taken from the packed YUV420 luma
+        # plane rather than a decoded-RGB conversion
         use_stream = os.environ.get("PYV_NO_STREAM") != "1"
         if use_stream:
             from ..pipeline.streaming import StreamLegs, stream_tracks

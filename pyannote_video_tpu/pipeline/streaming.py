@@ -157,8 +157,13 @@ def _shot_plan(video, segmentation, max_shot_frames: int, every: int):
     (including the `max_shot_frames` memory splits) and which frames sit
     on the shot-relative detection grid ``range(0, len(shot), every)`` —
     is known before the first frame decodes.  Returns
-    ``(shot_id [n] int32, detect [n] bool)``; replaying the generator
-    keeps the frame partition bit-identical to the legacy path.
+    ``(shot_id [n] int32, detect [n] bool, segment [n] int32)``;
+    replaying the generator keeps the frame partition bit-identical to
+    the legacy path.  ``segment`` maps each grid frame to the index of
+    its originating segment in ``segmentation`` (a segment may split
+    into several shot ids at the ``max_shot_frames`` memory cap, but
+    every shot id's frames lie in exactly one segment) — multi-worker
+    sharding assigns work by this index (`cli/face_cli.py:track`).
     """
     from .tracking import get_segment_generator
 
@@ -167,32 +172,48 @@ def _shot_plan(video, segmentation, max_shot_frames: int, every: int):
     gen.send(None)
     shot_id = np.zeros(len(grid), dtype=np.int32)
     detect = np.zeros(len(grid), dtype=bool)
-    sid, rel = 0, 0
+    segment = np.zeros(len(grid), dtype=np.int32)
+    sid, rel, seg = 0, 0, 0
     for i, t in enumerate(grid):
         # a boundary firing on an empty shot (possible when segments are
         # shorter than a frame interval, or right after a memory split)
         # opens no new shot — the legacy loop processes an empty frame
-        # list and keeps going
-        if gen.send(float(t)) and rel:
-            sid, rel = sid + 1, 0
+        # list and keeps going (but the segment index still advances:
+        # the empty segment consumed a slot in the segmentation list)
+        if gen.send(float(t)):
+            seg += 1
+            if rel:
+                sid, rel = sid + 1, 0
         if rel >= max_shot_frames:
             sid, rel = sid + 1, 0
         shot_id[i] = sid
         detect[i] = rel % every == 0
+        segment[i] = seg
         rel += 1
-    return shot_id, detect
+    return shot_id, detect, segment
 
 
 class _ShotAssembler:
     """Accumulates per-batch device gray chunks into whole shots,
-    following a precomputed per-frame shot-id plan."""
+    following a precomputed per-frame shot-id plan.
 
-    def __init__(self, shot_id: np.ndarray):
+    ``keep_sid`` (optional) restricts assembly to a subset of shot ids:
+    frames of other shots are walked (the plan's shot boundaries still
+    advance) but accumulate nothing — the multi-worker sharding path
+    (`cli/face_cli.py:track`, ``--world``) drops the other workers'
+    shots here so their gray slices are never concatenated or scanned.
+    """
+
+    def __init__(self, shot_id: np.ndarray, keep_sid=None):
         self._shot_id = shot_id
+        self._keep = keep_sid
         self._cur: Optional[int] = None
         self._chunks: List[jnp.ndarray] = []   # device gray slices
         self._ts: List[float] = []
         self._dets: Dict[int, List] = {}       # shot-relative frame → boxes
+
+    def _kept(self, sid: int) -> bool:
+        return self._keep is None or sid in self._keep
 
     def _flush(self):
         if not self._ts:
@@ -214,17 +235,19 @@ class _ShotAssembler:
             if self._cur is None:
                 self._cur = sid
             elif sid != self._cur:
-                self._chunks.append(gray_dev[seg_start:i])
+                if self._kept(self._cur):
+                    self._chunks.append(gray_dev[seg_start:i])
                 shot = self._flush()
                 if shot is not None:
                     out.append(shot)
                 seg_start = i
                 self._cur = sid
-            rel = len(self._ts)
-            self._ts.append(float(ts[i]))
-            if i in det_by_local:
-                self._dets[rel] = det_by_local[i]
-        if seg_start < n_valid:
+            if self._kept(sid):
+                rel = len(self._ts)
+                self._ts.append(float(ts[i]))
+                if i in det_by_local:
+                    self._dets[rel] = det_by_local[i]
+        if seg_start < n_valid and self._kept(self._cur):
             self._chunks.append(gray_dev[seg_start:n_valid])
         return out
 
@@ -251,12 +274,19 @@ def _det_bucket(n: int) -> int:
 
 
 def stream_tracks(engine, video, segmentation,
-                  legs: Optional[StreamLegs] = None
-                  ) -> Iterator[List]:
+                  legs: Optional[StreamLegs] = None,
+                  segment_filter=None) -> Iterator[List]:
     """Streaming counterpart of ``TrackingByDetection.__call__``.
 
     Yields normalized tracks per shot with identical semantics; requires
     the packaged batched detector (``engine.detect_func is None``).
+
+    ``segment_filter(i) -> bool`` (optional) restricts tracking to a
+    subset of segments by their index in ``segmentation`` — the
+    multi-worker CLI passes ``i % world == rank``.  The full clip still
+    decodes (the plan's frame grid must stay identical to a single-worker
+    run so sharded outputs merge bit-exactly), but unassigned shots are
+    dropped before any detector or scan work.
     """
     assert engine.detect_func is None, \
         "streaming path uses the batched detector"
@@ -295,9 +325,15 @@ def stream_tracks(engine, video, segmentation,
         return [tuple(float(v) for v in cb[j]) for j in keep]
 
     t_wall = time.perf_counter()
-    shot_id, det_flag = _shot_plan(video, segmentation,
-                                   engine.max_shot_frames, every)
-    assembler = _ShotAssembler(shot_id)
+    shot_id, det_flag, seg_of = _shot_plan(video, segmentation,
+                                           engine.max_shot_frames, every)
+    keep_sid = None
+    if segment_filter is not None:
+        keep_frame = np.fromiter((segment_filter(int(s)) for s in seg_of),
+                                 dtype=bool, count=len(seg_of))
+        det_flag = det_flag & keep_frame   # no detector work on dropped shots
+        keep_sid = set(shot_id[keep_frame].tolist())
+    assembler = _ShotAssembler(shot_id, keep_sid)
     base = 0
     try:
         for ts, n_valid, (y, u, v) in _stream_batches(

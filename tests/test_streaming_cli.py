@@ -127,19 +127,23 @@ def test_shot_plan_matches_generator():
     segs = [Segment(0.0, 1.0), Segment(1.0, 2.2), Segment(2.2, 4.0)]
     max_shot = 17
     every = 3
-    shot_id, detect = _shot_plan(_FakeVideo(), segs, max_shot, every)
+    shot_id, detect, segment = _shot_plan(_FakeVideo(), segs, max_shot,
+                                          every)
 
     # replay the legacy loop: online generator + post-append split check
     gen = get_segment_generator(segs)
     gen.send(None)
-    want_sid, want_rel = [], []
-    sid, shot_len = 0, 0
+    want_sid, want_rel, want_seg = [], [], []
+    sid, shot_len, seg = 0, 0, 0
     for t in _FakeVideo().timestamps():
-        if gen.send(float(t)) and shot_len:
-            sid += 1
-            shot_len = 0
+        if gen.send(float(t)):
+            seg += 1
+            if shot_len:
+                sid += 1
+                shot_len = 0
         want_sid.append(sid)
         want_rel.append(shot_len)
+        want_seg.append(seg)
         shot_len += 1
         if shot_len >= max_shot:
             sid += 1
@@ -147,6 +151,12 @@ def test_shot_plan_matches_generator():
     np.testing.assert_array_equal(shot_id, np.asarray(want_sid))
     np.testing.assert_array_equal(
         detect, np.asarray(want_rel) % every == 0)
+    # per-frame segment index: memory splits (17 < 25-frame segments)
+    # change the shot id but NOT the segment — a shot id's frames lie in
+    # exactly one segment (the sharding invariant, `_shot_plan` doc)
+    np.testing.assert_array_equal(segment, np.asarray(want_seg))
+    for s in np.unique(shot_id):
+        assert len(np.unique(segment[shot_id == s])) == 1
 
 
 def test_stream_legs_add_up(clip, tmp_path, no_stream):
