@@ -53,6 +53,15 @@ NEG_MINE_K = 32      # hard-negative cells mined per image (was 8: too few —
 # absolute tails).  Pinning positives into [MARGIN_POS, ANCHOR] keeps the
 # margin objective about *separation*, not scale.
 ANCHOR = MARGIN_POS + 4.0
+# serve-scale bootstrapped hard-negative mining (train/mine.py): crop-scale
+# clutter tuning hit a ceiling — two r5 fine-tunes moved the wide-probe
+# margin −2.8 → −0.91 → −1.06 while trainer crops' own hardest negatives
+# scored ≤ 3 logits (the 9.9-logit serve-time decoy family simply is not in
+# the crop distribution; it needs the pyramid's chained-resample blur and
+# bigger-than-window context).  Mining through the serve pyramid puts the
+# actual failure modes in every batch.
+MINE_EVERY = 25       # refresh cadence (steps); bootstraps with the weights
+MINE_PER_BATCH = 4    # crops per batch substituted with mined negatives
 
 
 def loss_fn(params, frames, labels, deltas, delta_mask, hard):
@@ -105,10 +114,15 @@ def loss_fn(params, frames, labels, deltas, delta_mask, hard):
 
 def train(steps: int = 600, batch: int = 16, size: int = 128,
           seed: int = 0, lr: float = 3e-4, log_every: int = 50,
-          init_params: dict = None):
+          init_params: dict = None, mine: bool = True):
     rng = np.random.default_rng(seed)
     params = (init_params if init_params is not None
               else detector.init_params(jax.random.PRNGKey(seed)))
+    miner = None
+    if mine:
+        from .mine import HardNegativeMiner
+
+        miner = HardNegativeMiner(crop=size, seed=seed + 77)
     # cosine decay to ~lr/10: the margin hinges keep late-training gradient
     # alive on the tails, so the step size must come down for the easy bulk
     # not to wander
@@ -157,32 +171,51 @@ def train(steps: int = 600, batch: int = 16, size: int = 128,
         if isinstance(item, BaseException):
             raise item
         frames, (labels, deltas, mask), hard = item
+        if miner is not None:
+            if step % MINE_EVERY == 0:
+                miner.refresh(params)
+            crops = miner.sample(rng, MINE_PER_BATCH)
+            if crops:
+                # substitute mined all-negative crops for the last slots
+                # (face-bearing crops keep the batch front; sampling order
+                # is already random so the position carries no bias)
+                for j, patch in enumerate(crops):
+                    i = batch - 1 - j
+                    frames[i] = patch
+                    labels[i] = 0.0
+                    deltas[i] = 0.0
+                    mask[i] = 0.0
+                    hard[i] = 0.0
         params, opt_state, loss = step_fn(
             params, opt_state,
             jnp.asarray(frames, dtype=jnp.float32), jnp.asarray(labels),
             jnp.asarray(deltas), jnp.asarray(mask), jnp.asarray(hard),
         )
         if step % log_every == 0 or step == steps - 1:
+            mined = (f"  mined {len(miner)} (max {miner.last_max_logit:.1f})"
+                     if miner is not None else "")
             print(f"step {step:5d}  loss {float(loss):.4f}  "
-                  f"({time.time() - t0:.1f}s)", flush=True)
+                  f"({time.time() - t0:.1f}s){mined}", flush=True)
     stop.set()
     return params
 
 
 def main():
     """usage: train_detector [steps] [out.npz] [--resume] [--init=ckpt.npz]
-                             [--lr=3e-4]
+                             [--lr=3e-4] [--no-mine]
 
     ``--resume`` continues from the packaged checkpoint (fresh optimizer);
     ``--init=<path>`` continues from an arbitrary checkpoint (e.g. chained
     fine-tune rounds).  Fine-tunes want a colder ``--lr`` (1e-4) than
-    from-scratch training.
+    from-scratch training.  ``--no-mine`` disables serve-scale hard-negative
+    mining (A/B only; mining is what holds the wide-probe margin).
     """
     from ..models.nn import load_params
     from ..models.weights import DETECTOR_FILE
 
     args = [a for a in sys.argv[1:]
-            if a != "--resume" and not a.startswith(("--lr=", "--init="))]
+            if a not in ("--resume", "--no-mine")
+            and not a.startswith(("--lr=", "--init="))]
     resume = "--resume" in sys.argv[1:]
     init_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
                       if a.startswith("--init=")),
@@ -192,7 +225,8 @@ def main():
     steps = int(args[0]) if len(args) > 0 else 600
     out = args[1] if len(args) > 1 else str(DETECTOR_FILE)
     init = load_params(init_path) if init_path else None
-    params = train(steps=steps, init_params=init, lr=lr)
+    params = train(steps=steps, init_params=init, lr=lr,
+                   mine="--no-mine" not in sys.argv[1:])
     os.makedirs(os.path.dirname(out), exist_ok=True)
     save_params(out, params)
     print("saved", out)

@@ -466,6 +466,34 @@ class TestTrainData:
                 assert WINDOW * 0.6 <= (b - t) <= WINDOW * 1.2 * 1.18 * 1.05
         assert n_faces > 0
 
+    def test_hard_negative_miner(self):
+        """Serve-scale mining (train/mine.py): negative frames render at
+        frame scale, the miner harvests crops around high-scoring pyramid
+        cells of the CURRENT params, and sampled crops are batch-shaped
+        all-negative training inputs.  No eval-shift import (hygiene is
+        structural: mine.py renders via train.data families only)."""
+        import pyannote_video_tpu.train.mine as mine
+        from pyannote_video_tpu.models.weights import default_detector_params
+
+        assert "synthetic_shift" not in {
+            m.split(".")[-1] for m in dir(mine)}
+        rng = np.random.default_rng(3)
+        fr = mine.negative_frame(rng)
+        assert fr.shape == (mine.MINE_H, mine.MINE_W, 3)
+        assert fr.dtype == np.uint8
+
+        miner = mine.HardNegativeMiner(frames_per_refresh=2, seed=3)
+        found = miner.refresh(default_detector_params())
+        # packaged weights always leave SOME cell above 0 on 2 frames of
+        # fresh distractors (measured: trainer-family frames reach 4-7.5
+        # logits through the serve pyramid) — if this ever goes to zero
+        # the miner has gone blind, not the detector perfect
+        assert found > 0 and len(miner) == found
+        assert miner.last_max_logit > mine.MINE_MIN_LOGIT
+        crops = miner.sample(rng, 4)
+        assert crops and all(
+            c.shape == (128, 128, 3) and c.dtype == np.uint8 for c in crops)
+
     def test_embedding_batch_resample_range(self):
         from pyannote_video_tpu.train import data as tdata
 
