@@ -79,7 +79,8 @@ def probe(domain: str, weights: str | None = None, seeds=SEEDS,
                         best[gi] = max(best[gi], float(s))
                 if not hit:
                     fps_.append(float(s))
-                    fp_top.append((float(s), seed, i))
+                    fp_top.append((float(s), seed, i,
+                                   tuple(round(float(v), 1) for v in b)))
             for gi, g in enumerate(gt):
                 if best[gi] > 0.5:
                     real.append(best[gi])
@@ -109,9 +110,9 @@ def probe(domain: str, weights: str | None = None, seeds=SEEDS,
         for s, seed, i, sz in sorted(weak)[:dump]:
             print(f"  weak face: score {s:6.2f}  seed {seed} frame {i:3d} "
                   f"min-side {sz}px", flush=True)
-        for s, seed, i in sorted(fp_top, reverse=True)[:dump]:
-            print(f"  top FP:    score {s:6.2f}  seed {seed} frame {i:3d}",
-                  flush=True)
+        for s, seed, i, box in sorted(fp_top, reverse=True)[:dump]:
+            print(f"  top FP:    score {s:6.2f}  seed {seed} frame {i:3d} "
+                  f"box {box}", flush=True)
     print(out, flush=True)
     return out
 

@@ -62,6 +62,12 @@ ANCHOR = MARGIN_POS + 4.0
 # actual failure modes in every batch.
 MINE_EVERY = 25       # refresh cadence (steps); bootstraps with the weights
 MINE_PER_BATCH = 4    # crops per batch substituted with mined negatives
+# hard-POSITIVE mining at the same cadence: negatives-only mining measurably
+# over-suppresses low-evidence posed faces (v6: wide-probe fp_n 240 → 51
+# but BC real_min 8.8 → 4.5).  Mined under-scored faces re-enter as
+# positive crops with the HARD margin target (MARGIN_POS_HARD — demanding
+# the full +8 from them is how v4's fine-tune inflated the FP tail).
+MINE_POS_PER_BATCH = 2
 
 
 def loss_fn(params, frames, labels, deltas, delta_mask, hard):
@@ -174,6 +180,7 @@ def train(steps: int = 600, batch: int = 16, size: int = 128,
         if miner is not None:
             if step % MINE_EVERY == 0:
                 miner.refresh(params)
+                miner.refresh_positives(params)
             crops = miner.sample(rng, MINE_PER_BATCH)
             if crops:
                 # substitute mined all-negative crops for the last slots
@@ -186,14 +193,25 @@ def train(steps: int = 600, batch: int = 16, size: int = 128,
                     deltas[i] = 0.0
                     mask[i] = 0.0
                     hard[i] = 0.0
+            pos = miner.sample_pos(rng, MINE_POS_PER_BATCH)
+            for j, (patch, box) in enumerate(pos):
+                i = batch - 1 - len(crops) - j
+                frames[i] = patch
+                lb, dl, mk = data.detection_targets([[box]], size, size)
+                labels[i], deltas[i], mask[i] = lb[0], dl[0], mk[0]
+                hard[i] = 1.0  # low-evidence face: HARD margin target
         params, opt_state, loss = step_fn(
             params, opt_state,
             jnp.asarray(frames, dtype=jnp.float32), jnp.asarray(labels),
             jnp.asarray(deltas), jnp.asarray(mask), jnp.asarray(hard),
         )
         if step % log_every == 0 or step == steps - 1:
-            mined = (f"  mined {len(miner)} (max {miner.last_max_logit:.1f})"
-                     if miner is not None else "")
+            mined = ""
+            if miner is not None:
+                mined = (f"  mined neg {len(miner)} "
+                         f"(max {miner.last_max_logit:.1f}) "
+                         f"pos {len(miner._pos_buf)} "
+                         f"(min {miner.last_min_pos_logit:.1f})")
             print(f"step {step:5d}  loss {float(loss):.4f}  "
                   f"({time.time() - t0:.1f}s){mined}", flush=True)
     stop.set()

@@ -494,6 +494,25 @@ class TestTrainData:
         assert crops and all(
             c.shape == (128, 128, 3) and c.dtype == np.uint8 for c in crops)
 
+        # hard-positive side: frame-scale faces the serve pyramid
+        # under-scores come back as (crop, level-mapped GT box) pairs
+        fr2, gt = mine.positive_frame(rng)
+        assert fr2.shape == (mine.MINE_H, mine.MINE_W, 3) and len(gt) <= 1
+        n_pos = 0
+        for _ in range(4):  # the affine can drop a frame's face
+            n_pos += miner.refresh_positives(default_detector_params())
+            if n_pos:
+                break
+        assert n_pos > 0
+        (patch, box), = miner.sample_pos(rng, 1)
+        assert patch.shape == (128, 128, 3) and patch.dtype == np.uint8
+        l, t, r, b = box
+        assert l < r and t < b
+        # the mined box is window-banded at its level and its center is
+        # inside the crop (that is the cell the harvest centered on)
+        assert mine.WINDOW * 0.5 <= (b - t) <= mine.WINDOW * 1.5
+        assert 0 <= (l + r) / 2 <= 128 and 0 <= (t + b) / 2 <= 128
+
     def test_embedding_batch_resample_range(self):
         from pyannote_video_tpu.train import data as tdata
 
