@@ -59,12 +59,27 @@ TOPK = 16            # candidates per level per frame
 DEFAULT_THRESHOLD = 4.5
 
 
-def init_params(key) -> Params:
-    """dlib's MMOD channel plan (16/32/32/45).  A 32/64-channel variant was
-    measured 20% SLOWER end-to-end on v5e despite better MXU utilization —
-    the pyramid FCN is bandwidth-bound, so the extra FLOPs just cost HBM
-    traffic."""
+def init_params(key, deep_width: int = 45) -> Params:
+    """dlib's MMOD channel plan (16/32/32/45), with an optional wider
+    stride-8 tail.
+
+    A 32/64-channel variant (widening EVERY layer) was measured 20%
+    SLOWER end-to-end on v5e despite better MXU utilization — the
+    full-resolution stem layers are bandwidth-bound, so their extra FLOPs
+    just cost HBM traffic.  ``deep_width`` widens ONLY c4-c6 + head,
+    which run on 1/8-resolution maps: their HBM traffic is 1/64 of the
+    stem's and wider channels fill the MXU better, so the cost is noise.
+    The packaged weights train at 96 since r5: at 45 channels,
+    serve-scale hard-negative mining never converged — every mining
+    refresh surfaced fresh 9-11-logit pale-disc decoys because the net
+    cannot keep "dark dots on a pale blob" and "eyes+mouth on a face"
+    apart at that capacity (the shared mode IS most of what 45 channels
+    can represent; measured across the v5-v7 fine-tunes, wide-probe
+    fp_max never fell below 8.9 while trainer-frame FPs were crushed
+    to 0 each round).  dlib-imported ``.dat`` models keep their own
+    channel plan — the forward pass reads shapes from the params."""
     ks = jax.random.split(key, 8)
+    dw = deep_width
     return {
         "c1": conv_init(ks[0], 5, 5, 3, 16),
         "bn1": bn_init(16),
@@ -72,14 +87,14 @@ def init_params(key) -> Params:
         "bn2": bn_init(32),
         "c3": conv_init(ks[2], 5, 5, 32, 32),
         "bn3": bn_init(32),
-        "c4": conv_init(ks[3], 5, 5, 32, 45),
-        "bn4": bn_init(45),
-        "c5": conv_init(ks[4], 5, 5, 45, 45),
-        "bn5": bn_init(45),
-        "c6": conv_init(ks[5], 5, 5, 45, 45),
-        "bn6": bn_init(45),
+        "c4": conv_init(ks[3], 5, 5, 32, dw),
+        "bn4": bn_init(dw),
+        "c5": conv_init(ks[4], 5, 5, dw, dw),
+        "bn5": bn_init(dw),
+        "c6": conv_init(ks[5], 5, 5, dw, dw),
+        "bn6": bn_init(dw),
         # head: 1 score + 4 box deltas (dx, dy, log dw, log dh)
-        "head": conv_init(ks[6], 9, 9, 45, 5),
+        "head": conv_init(ks[6], 9, 9, dw, 5),
     }
 
 

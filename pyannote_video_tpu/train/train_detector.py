@@ -120,10 +120,12 @@ def loss_fn(params, frames, labels, deltas, delta_mask, hard):
 
 def train(steps: int = 600, batch: int = 16, size: int = 128,
           seed: int = 0, lr: float = 3e-4, log_every: int = 50,
-          init_params: dict = None, mine: bool = True):
+          init_params: dict = None, mine: bool = True,
+          deep_width: int = 96):
     rng = np.random.default_rng(seed)
     params = (init_params if init_params is not None
-              else detector.init_params(jax.random.PRNGKey(seed)))
+              else detector.init_params(jax.random.PRNGKey(seed),
+                                        deep_width=deep_width))
     miner = None
     if mine:
         from .mine import HardNegativeMiner
