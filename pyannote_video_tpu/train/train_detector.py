@@ -121,7 +121,8 @@ def loss_fn(params, frames, labels, deltas, delta_mask, hard):
 def train(steps: int = 600, batch: int = 16, size: int = 128,
           seed: int = 0, lr: float = 3e-4, log_every: int = 50,
           init_params: dict = None, mine: bool = True,
-          deep_width: int = 96):
+          deep_width: int = 96, ckpt_path: str = None,
+          ckpt_every: int = 400):
     rng = np.random.default_rng(seed)
     params = (init_params if init_params is not None
               else detector.init_params(jax.random.PRNGKey(seed),
@@ -216,6 +217,13 @@ def train(steps: int = 600, batch: int = 16, size: int = 128,
                          f"(min {miner.last_min_pos_logit:.1f})")
             print(f"step {step:5d}  loss {float(loss):.4f}  "
                   f"({time.time() - t0:.1f}s){mined}", flush=True)
+        if ckpt_path and step and step % ckpt_every == 0:
+            # periodic checkpoint: a wedged device RPC (the tunnelled TPU
+            # relay can stall mid-run) must not cost the whole run
+            from ..models.nn import save_params
+
+            save_params(ckpt_path, params)
+            print(f"ckpt @ {step} -> {ckpt_path}", flush=True)
     stop.set()
     return params
 
@@ -246,7 +254,8 @@ def main():
     out = args[1] if len(args) > 1 else str(DETECTOR_FILE)
     init = load_params(init_path) if init_path else None
     params = train(steps=steps, init_params=init, lr=lr,
-                   mine="--no-mine" not in sys.argv[1:])
+                   mine="--no-mine" not in sys.argv[1:],
+                   ckpt_path=out + ".ckpt")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     save_params(out, params)
     print("saved", out)
