@@ -847,9 +847,11 @@ def main():
             "separable sampling + one-hot tree matmuls (each MXU-light); "
             "bf16 contractions were REJECTED — the decision-feeding "
             "matmuls must stay f32 or splits flip near thresholds "
-            "(ADVICE r4, models/landmarks.py); remaining next 2x = "
-            "batching faces across shots so each stage's matmuls run "
-            "wider"),
+            "(ADVICE r4, models/landmarks.py); cross-shot face batching "
+            "LANDED in the product path (pipeline/streaming.py:"
+            "stream_extract groups faces across the whole decode batch, "
+            "which spans shot boundaries) — this per-shot stage program "
+            "keeps the shot boundary only for like-for-like ratcheting"),
     }
     if peaks is not None:
         roofline["peak_bf16_tflops"], roofline["peak_hbm_gbps"] = peaks
