@@ -53,10 +53,15 @@ class TestDistributedInit:
 
 class TestWorkerShardedTracking:
     @pytest.mark.slow
-    def test_two_worker_track_matches_single(self, tmp_path):
+    @pytest.mark.parametrize("no_stream", ["0", "1"],
+                             ids=["streaming", "legacy"])
+    def test_two_worker_track_matches_single(self, tmp_path, no_stream):
         """2-worker shot-sharded `track` + merge == single-process output
         (same point set; track numbering is the deterministic merge
-        order)."""
+        order).  Both engine paths shard: streaming (the default — the
+        full-grid plan + segment_filter make sharded output bit-identical
+        to single-worker) and the legacy per-shot seek loop
+        (PYV_NO_STREAM=1, kept for custom detectors)."""
         from pyannote_video_tpu.core import Segment, Timeline, dump, formats
         from pyannote_video_tpu.utils.synthetic import (
             synthetic_episode, write_synthetic_video,
@@ -75,8 +80,9 @@ class TestWorkerShardedTracking:
 
         script = os.path.join(REPO, "scripts", "pyannote-face.py")
         single = str(tmp_path / "single.txt")
+        env = dict(_env(), PYV_NO_STREAM=no_stream)
         run = lambda args: subprocess.run(
-            [sys.executable, script] + args, env=_env(),
+            [sys.executable, script] + args, env=env,
             capture_output=True, text=True, timeout=900)
 
         r = run(["track", "--every", "0.2", clip, shot_json, single])
