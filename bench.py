@@ -597,8 +597,9 @@ def _cli_bench(floor_s):
 # that measure different things (VERDICT r4 weak #2).
 METRIC_DEFS = {
     "value": "combined shot wall, stages back-to-back one sync (r2)",
-    "stage_fps.detect": "boxes-only detect program (r4; r3 was fused "
-                        "detect+extract)",
+    "stage_fps.detect": "boxes-only detect incl. the stage-2 refine "
+                        "cascade (r5; r4 was single-stage pyramid, r3 "
+                        "fused detect+extract)",
     "stage_fps.track": "whole-shot fwd+bwd DSST scan (r2)",
     "stage_fps.extract": "per-track-point ERT+chip+ResNet (r2)",
     "sustained.compute_fps": "predecoded sustained compute leg (r3)",

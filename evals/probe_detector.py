@@ -14,7 +14,12 @@ this table: above every distractor with margin, below the weakest real
 face the pipeline must catch.  Re-run after any detector retrain.
 
 Usage:  python evals/probe_detector.py [--weights=path.npz] [--domains=A,B,C,BC]
-            [--seeds=101,202,...] [--wide] [--json=out.jsonl]
+            [--refiner=path.npz] [--seeds=101,202,...] [--wide] [--json=out.jsonl]
+
+With the refine cascade loaded (packaged weights, or a candidate via
+``--refiner=``) the probed scores are the stage-2 logits the operating
+threshold actually gates on; ``PYV_NO_REFINE=1`` probes the raw stage-1
+pyramid.
 
 ``--wide`` probes seeds 101–707 — strictly wider than the 101/202/303
 calibration set the operating threshold was historically fitted on, so the
@@ -35,7 +40,7 @@ WIDE_SEEDS = (101, 202, 303, 404, 505, 606, 707)
 
 
 def probe(domain: str, weights: str | None = None, seeds=SEEDS,
-          dump: int = 0) -> dict:
+          dump: int = 0, refiner: str | None = None) -> dict:
     import jax.numpy as jnp
 
     from pyannote_video_tpu.models.detector import FaceDetector
@@ -43,7 +48,7 @@ def probe(domain: str, weights: str | None = None, seeds=SEEDS,
     from pyannote_video_tpu.utils.synthetic import synthetic_episode
     from pyannote_video_tpu.utils.synthetic_shift import domain_hooks
 
-    det = FaceDetector(weights) if weights else FaceDetector()
+    det = FaceDetector(model_path=weights, refiner_path=refiner)
     real, fps_, miss, tot = [], [], 0, 0
     weak = []  # (score, seed, frame, face size) of the weakest real faces
     fp_top = []  # (score, seed, frame) of the strongest distractors
@@ -123,9 +128,12 @@ def main(argv):
     seeds = SEEDS
     json_out = None
     dump = 0
+    refiner = None
     for a in argv:
         if a.startswith("--weights="):
             weights = a.split("=", 1)[1]
+        elif a.startswith("--refiner="):
+            refiner = a.split("=", 1)[1]
         elif a.startswith("--domains="):
             domains = a.split("=", 1)[1].split(",")
         elif a.startswith("--seeds="):
@@ -136,7 +144,8 @@ def main(argv):
             json_out = a.split("=", 1)[1]
         elif a.startswith("--dump="):
             dump = int(a.split("=", 1)[1])
-    rows = [probe(d, weights, seeds=seeds, dump=dump) for d in domains]
+    rows = [probe(d, weights, seeds=seeds, dump=dump, refiner=refiner)
+            for d in domains]
     margins = [row["margin"] for row in rows if row.get("margin") is not None]
     summary = {"domain": "ALL",
                "min_margin": round(min(margins), 2) if margins else None}

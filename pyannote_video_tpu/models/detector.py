@@ -45,18 +45,21 @@ STRIDE = 8           # total downsampling of the FCN
 PYRAMID_RATIO = 0.75
 DETECT_SMALLEST = WINDOW  # smallest detectable face without upsampling
 TOPK = 16            # candidates per level per frame
-# detection logit threshold, calibrated on the chained-pyramid fine-tuned
-# weights (evals/probe_detector.py, domains A/B/C/BC): real faces score
-# >= 7.1 on seeds 101/202/303 (A min 11.1, B 8.4, C 9.8, BC 7.1 — zero
-# misses even at 0.5); the worst distractor on those seeds scores 4.1
-# (a photometric-domain decoy).  4.5 excludes every distractor observed
-# on the calibration seeds while keeping a 1.6x margin below the weakest
-# real face.  Tail behaviour over WIDER seed sweeps (404-707): occasional
-# BC faces down to 1.7 and decoys up to 4.7 — those tails overlap, so no
-# threshold is perfect at this capacity; the every-5-frames detection
-# cadence + fwd/bwd DSST bridging recovers isolated per-frame misses at
-# track level.
-DEFAULT_THRESHOLD = 4.5
+# operating threshold on the REFINED cascade score (`models/refiner.py`;
+# serving gates on the stage-2 logit of each stage-1 proposal).  The
+# single-stage pyramid could not hold a wide-seed margin — measured over
+# eight r4-r5 retrains, min(real) − max(fp) never beat −0.9 because
+# "posed low-evidence face must score high" and "pale face-like prop must
+# score low" fight over the same dense-map capacity.  The cascade's
+# refined logits separate cleanly; the calibration table lives in
+# evals/PROBE_wide.jsonl (regenerate with evals/probe_detector.py --wide
+# after any retrain) and the threshold sits mid-gap.
+DEFAULT_THRESHOLD = 4.0
+# threshold for the pyramid logits when NO refiner is loaded
+# (PYV_NO_REFINE=1 or missing weights): calibrated on seeds 101/202/303
+# (real faces >= 7.1, worst distractor 4.1).  On wider seed sweeps the
+# single-stage tails overlap (see above) — the refined path is the fix.
+STAGE1_THRESHOLD = 4.5
 
 
 def init_params(key, deep_width: int = 45) -> Params:
@@ -135,6 +138,29 @@ def with_s2d_stem(params: Params) -> Params:
     if os.environ.get("PYV_NO_S2D") == "1" or "c1_s2d" in params:
         return params
     return {**params, "c1_s2d": s2d_stem_weights(params["c1"])}
+
+
+def with_refiner(params: Params,
+                 refiner_path: Optional[str] = None) -> Params:
+    """Serving-time param set with the stage-2 refine cascade attached
+    under the ``"refiner"`` key (`models/refiner.py`).
+
+    Like ``c1_s2d``, a runtime-only key: trainers and the ``.dat``
+    exporters never see it, and the stage-1 and refiner weight FILES stay
+    separate (`models/weights/`).  ``PYV_NO_REFINE=1`` serves the plain
+    single-stage pyramid (A/B kill switch); with no trained refiner
+    available the single-stage path is also what you get.
+    """
+    import os
+
+    if os.environ.get("PYV_NO_REFINE") == "1" or "refiner" in params:
+        return params
+    if refiner_path is not None:
+        return {**params, "refiner": load_params(refiner_path)}
+    from .weights import default_refiner_params
+
+    ref = default_refiner_params()
+    return {**params, "refiner": ref} if ref is not None else params
 
 
 def _space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
@@ -279,16 +305,25 @@ class FaceDetector:
     model_path : str, optional
         .npz parameter file (defaults to the packaged synthetic-data
         weights if present, else random init).
-    threshold : float
-        Detection logit threshold (see DEFAULT_THRESHOLD).
+    threshold : float, optional
+        Detection logit threshold; defaults to DEFAULT_THRESHOLD when the
+        refine cascade is loaded, STAGE1_THRESHOLD otherwise (the two
+        stages score on different logit scales).
     upsample : int
         Number of 2× upsampling pyramid levels (reference uses 1,
         `face/face.py:66`).
+    refiner_path : str, optional
+        .npz for the stage-2 crop refiner (`models/refiner.py`); defaults
+        to the packaged weights.  ``PYV_NO_REFINE=1`` serves the plain
+        single-stage pyramid (A/B kill switch).
     """
 
-    def __init__(self, model_path: Optional[str] = None, threshold: float = DEFAULT_THRESHOLD,
+    def __init__(self, model_path: Optional[str] = None,
+                 threshold: Optional[float] = None,
                  upsample: int = 0, params: Optional[Params] = None,
-                 nms_iou: float = 0.3):
+                 nms_iou: float = 0.3, refiner_path: Optional[str] = None):
+        import os
+
         if params is not None:
             self.params = params
         elif model_path is not None:
@@ -297,7 +332,10 @@ class FaceDetector:
             from .weights import default_detector_params
 
             self.params = default_detector_params()
-        self.params = with_s2d_stem(self.params)
+        self.params = with_refiner(with_s2d_stem(self.params), refiner_path)
+        if threshold is None:
+            threshold = (DEFAULT_THRESHOLD if "refiner" in self.params
+                         else STAGE1_THRESHOLD)
         self.threshold = threshold
         self.upsample = upsample
         self.nms_iou = nms_iou
@@ -305,7 +343,10 @@ class FaceDetector:
 
     def _pyramid_fn(self, H: int, W: int):
         """One jitted program per input shape covering ALL pyramid levels —
-        a per-level dispatch would pay the device-call latency ×15."""
+        a per-level dispatch would pay the device-call latency ×15.  When
+        the refine cascade is loaded, its top-K crop re-scoring fuses into
+        the same program (scores out are stage-2 logits; boxes are always
+        stage-1 regressions)."""
         key = (H, W)
         if key not in self._pyramid_fns:
             level_dims = [
@@ -313,10 +354,15 @@ class FaceDetector:
                  max(STRIDE * 2, int(round(W * s))), s)
                 for s in pyramid_scales(H, W, upsample=self.upsample)
             ]
-
             @jax.jit
             def run(params, frames):
-                return pyramid_candidates(params, frames, level_dims)
+                scores, boxes = pyramid_candidates(params, frames, level_dims)
+                if "refiner" in params:  # pytree structure: trace-static
+                    from .refiner import refine_scores
+
+                    scores = refine_scores(params["refiner"], frames,
+                                           scores, boxes)
+                return scores, boxes
 
             self._pyramid_fns[key] = run
         return self._pyramid_fns[key]

@@ -86,13 +86,17 @@ class FusedFacePipeline:
     def __init__(self, detector_params: Optional[Params] = None,
                  embedder_params: Optional[Params] = None,
                  landmark_params: Optional[dict] = None,
-                 threshold: float = DEFAULT_THRESHOLD, nms_iou: float = 0.3,
+                 threshold: Optional[float] = None, nms_iou: float = 0.3,
                  upsample: int = 0, max_faces: int = MAX_FACES):
         from .weights import default_detector_params, default_embedder_params
         from .landmarks import LandmarkPredictor
 
-        self.detector_params = det.with_s2d_stem(
-            detector_params or default_detector_params())
+        self.detector_params = det.with_refiner(det.with_s2d_stem(
+            detector_params or default_detector_params()))
+        if threshold is None:
+            threshold = (DEFAULT_THRESHOLD
+                         if "refiner" in self.detector_params
+                         else det.STAGE1_THRESHOLD)
         self.embedder_params = embedder_params or default_embedder_params()
         if landmark_params is None:
             landmark_params = LandmarkPredictor().params
@@ -142,6 +146,11 @@ class FusedFacePipeline:
             # each level resamples the previous; models/detector.py)
             scores, boxes = det.pyramid_candidates(det_params, frames,
                                                    level_dims)
+            if "refiner" in det_params:  # stage-2 cascade (models/refiner.py)
+                from .refiner import refine_scores
+
+                scores = refine_scores(det_params["refiner"], frames,
+                                       scores, boxes)
             # below-threshold candidates can never be selected
             scores = jnp.where(scores > threshold, scores, -jnp.inf)
 
@@ -206,6 +215,11 @@ class FusedFacePipeline:
             frames = frames_u8.astype(jnp.float32)
             scores, boxes = det.pyramid_candidates(det_params, frames,
                                                    level_dims)
+            if "refiner" in det_params:  # stage-2 cascade (models/refiner.py)
+                from .refiner import refine_scores
+
+                scores = refine_scores(det_params["refiner"], frames,
+                                       scores, boxes)
             scores = jnp.where(scores > threshold, scores, -jnp.inf)
             nms_fn = lambda b, s: _device_nms(b, s, nms_iou, max_faces)
             return jax.vmap(nms_fn)(boxes, scores)

@@ -20,6 +20,7 @@ from .nn import Params, load_params
 WEIGHTS_DIR = Path(__file__).parent / "weights"
 
 DETECTOR_FILE = WEIGHTS_DIR / "detector_synthetic.npz"
+REFINER_FILE = WEIGHTS_DIR / "refiner_synthetic.npz"
 EMBEDDER_FILE = WEIGHTS_DIR / "embedder_synthetic.npz"
 LANDMARKS_FILE = WEIGHTS_DIR / "landmarks_synthetic.npz"
 
@@ -39,6 +40,18 @@ def default_detector_params() -> Params:
         "(train with train/train_detector.py)"
     )
     return detector.init_params(jax.random.PRNGKey(42))
+
+
+def default_refiner_params() -> "Params | None":
+    """Packaged refine-cascade weights (`models/refiner.py`), or None.
+
+    Unlike the other defaults this does NOT fall back to random
+    initialisation: with no trained refiner the detector serves the plain
+    single-stage pyramid (a random second stage would destroy recall).
+    """
+    if REFINER_FILE.exists():
+        return load_params(str(REFINER_FILE))
+    return None
 
 
 def default_embedder_params() -> Params:

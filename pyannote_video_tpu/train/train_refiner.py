@@ -1,0 +1,482 @@
+"""Stage-2 refiner training — binary margin classification on crops.
+
+The refiner (`models/refiner.py`) re-scores the pyramid detector's top
+proposals at canonical scale.  Its training distribution is therefore
+*defined by serving*: crops are extracted with the SAME
+`refiner.crop_boxes` + `ops/crop.py:crop_resize` pair the fused serve
+program uses, from frame-scale scenes built out of the trainer's render
+families (`train/data.py` — faces, featureless-head decoys, dial/disc
+clutter, photometric shifts; eval-shift hygiene: nothing here imports
+`utils/synthetic_shift.py`).
+
+Window sources per class:
+
+* positives — GT face boxes under a jitter matched to the stage-1
+  regression-noise envelope, plus stage-1 detections that land ON faces
+  (IoU ≥ 0.5) — the serve-exact positive windows;
+* negatives — stage-1's own top candidates with IoU < 0.25 to every GT
+  (the exact false-positive distribution the refiner must crush; the
+  frozen stage-1 makes this mining stationary), plus windows centred on
+  the placed decoys/clutter, plus edge-straddling background windows
+  (the residual stage-1 FP family sits half off-frame, where the crop's
+  zero padding is part of the appearance).
+
+The loss mirrors the detector's margin objective (BCE + hinge to
+[MARGIN_POS, ANCHOR] for positives, ≤ MARGIN_NEG with top-K extra
+pressure for negatives) so the refined-logit scale keeps the same
+operating-threshold semantics.
+
+Usage:  python -m pyannote_video_tpu.train.train_refiner [steps] [out.npz]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import refiner
+from ..models.nn import save_params
+from ..ops.crop import crop_resize
+from .data import (_draw_clutter, _photometric_aug, _random_affine,
+                   _warp_frame_and_boxes, broad_identity, AUG_P, AUG_HARD_P,
+                   AUG_CUTOUT_P, AUG_SIDEBAR_P)
+
+MARGIN_POS = 8.0
+MARGIN_POS_HARD = 6.0   # low-evidence (hard-combo) faces, as in stage 1
+ANCHOR = 12.0
+MARGIN_NEG = 0.0
+MARGIN_W = 0.5
+NEG_TOPK = 16           # extra hinge pressure on the batch's hardest negs
+SCENE_H, SCENE_W = 360, 480
+MINE_EVERY = 20         # steps between stage-1 mining refreshes
+MINE_FRAMES = 4
+NEG_BUF = 1024          # mined hard-negative crop buffer
+POS_BUF = 512           # serve-window positive crop buffer
+
+
+def _jitter_box(rng, box, hard=False):
+    """Stage-1 regression-noise model: centre shift up to ±12% of the
+    side, independent x/y scale ×[0.72, 1.25].  The envelope is measured
+    at serve time on hard posed faces (evals/probe_detector.py corners):
+    stage-1 boxes on IoU-0.6 detections truncate the warped face's bound
+    by up to ~27% in one axis — the refiner must score THOSE windows as
+    positives, not just the GT bound."""
+    l, t, r, b = box
+    w, h = r - l, b - t
+    sx = rng.uniform(0.72, 1.25)
+    sy = rng.uniform(0.72, 1.25)
+    cx = (l + r) / 2 + rng.uniform(-0.12, 0.12) * w
+    cy = (t + b) / 2 + rng.uniform(-0.12, 0.12) * h
+    return (cx - w * sx / 2, cy - h * sy / 2,
+            cx + w * sx / 2, cy + h * sy / 2)
+
+
+def _color_aug(rng: np.random.Generator, crops: np.ndarray) -> np.ndarray:
+    """Per-crop channel-gain + desaturation augmentation (in place).
+
+    Face-ness must not key on hue: the eval domains draw identities with
+    skin tones OUTSIDE the training sampler's range (synthetic_shift's
+    novel identities), and the decoy props differ from faces by geometry
+    (no eyes/mouth), never by colour.  Random per-channel gains plus a
+    grayscale mix make the refiner's decision colour-invariant without
+    importing the eval-shift module."""
+    n = crops.shape[0]
+    apply = rng.random(n) < 0.5
+    gains = rng.uniform(0.55, 1.45, size=(n, 1, 1, 3)).astype(np.float32)
+    mixed = crops * np.where(apply[:, None, None, None], gains, 1.0)
+    desat = rng.random(n) < 0.3
+    a = rng.uniform(0.3, 0.9, size=(n, 1, 1, 1)).astype(np.float32)
+    gray = mixed.mean(axis=-1, keepdims=True)
+    mixed = np.where(desat[:, None, None, None],
+                     mixed * (1 - a) + gray * a, mixed)
+    return np.clip(mixed, 0.0, 255.0)
+
+
+def scene(rng: np.random.Generator, p_face: float = 0.75
+          ) -> Tuple[np.ndarray, List[tuple], List[tuple], np.ndarray]:
+    """One frame-scale scene.
+
+    Returns (frame u8 [H, W, 3], gt face boxes, distractor boxes
+    (placed decoys/clutter — known-negative windows), hard mask per gt).
+    """
+    from dataclasses import replace
+
+    from ..utils.synthetic import FaceParams, _background, render_face
+
+    h, w = SCENE_H, SCENE_W
+    bg = _background(w, h, rng).astype(np.float32)
+    distract: List[tuple] = []
+    # featureless skin-tone head (the canonical face-like prop)
+    if rng.random() < 0.7:
+        decoy = replace(FaceParams.random(rng),
+                        eye_r=0.0, mouth_w=0.0, nose_len=0.2)
+        dh = float(rng.uniform(0.12, 0.45) * h)
+        # edge-straddling allowed: centre may sit within dh/2 of (or past)
+        # the border — serve-time FPs live half off-frame too
+        dcx = float(rng.uniform(-0.2 * dh, w + 0.2 * dh))
+        dcy = float(rng.uniform(-0.1 * dh, h + 0.1 * dh))
+        render_face(bg, dcx, dcy, dh, decoy)
+        hw = dh / 2.0 / decoy.aspect
+        distract.append((dcx - hw, dcy - dh / 2, dcx + hw, dcy + dh / 2))
+    for _ in range(int(rng.integers(2, 6))):
+        size = float(rng.uniform(0.10, 0.45) * h)
+        # record where the clutter lands so its window is a known negative
+        cx = float(rng.uniform(size / 2, w - size / 2))
+        cy = float(rng.uniform(size / 2, h - size / 2))
+        x0, y0 = int(cx - size / 2), int(cy - size / 2)
+        _draw_clutter_at(bg, rng, size, cx, cy)
+        distract.append((cx - size / 2, cy - size / 2,
+                         cx + size / 2, cy + size / 2))
+    gt: List[tuple] = []
+    hard_flags: List[bool] = []
+    n_faces = int(rng.integers(1, 4)) if rng.random() < p_face else 0
+    for _ in range(n_faces):
+        u = rng.random()
+        # a quarter of faces draw from a WIDER identity stretch than the
+        # stage-1 trainer's 0.35 — stage 2 sees each face centred at fixed
+        # scale, so it can afford (and needs) broader appearance coverage
+        params = (broad_identity(rng, stretch=0.75) if u < 0.25
+                  else broad_identity(rng) if u < 0.6
+                  else FaceParams.random(rng))
+        face_h = float(rng.uniform(40.0, 0.55 * h))
+        half_w = face_h / 2.0 / params.aspect
+        cx = rng.uniform(half_w + 2, w - half_w - 2)
+        cy = rng.uniform(face_h / 2 + 2, h - face_h / 2 - 2)
+        if any(abs(cx - (g[0] + g[2]) / 2) < face_h * 0.9
+               and abs(cy - (g[1] + g[3]) / 2) < face_h * 0.9 for g in gt):
+            continue
+        render_face(bg, cx, cy, face_h, params)
+        gt.append((cx - half_w, cy - face_h / 2,
+                   cx + half_w, cy + face_h / 2))
+        hard_flags.append(False)
+    # whole-frame pose affine (exactly-warped GT), as stage-1 training
+    hard = bool(gt) and rng.random() < AUG_HARD_P
+    if gt and (hard or rng.random() < AUG_P):
+        A = _random_affine(rng, hard=hard)
+        bg, gt = _warp_frame_and_boxes(bg, gt, A, w / 2, h / 2)
+        hard_flags = [hard] * len(gt)
+    # per-face cutouts / occlusion bars (data.py's generic occlusion)
+    for gi, (l, t, r, btm) in enumerate(gt):
+        if rng.random() < AUG_CUTOUT_P:
+            fw, fh = r - l, btm - t
+            cw = rng.uniform(0.1, 0.25) * fw
+            chh = rng.uniform(0.1, 0.25) * fh
+            ox = (l + r) / 2 + rng.uniform(-0.8, 0.8) * fw / 2
+            oy = (t + btm) / 2 + rng.uniform(-0.8, 0.8) * fh / 2
+            x0 = int(np.clip(ox - cw / 2, 0, w - 1))
+            y0 = int(np.clip(oy - chh / 2, 0, h - 1))
+            bg[y0:y0 + max(1, int(chh)), x0:x0 + max(1, int(cw))] = \
+                rng.uniform(20, 230)
+        if hard_flags[gi] or rng.random() < AUG_SIDEBAR_P:
+            fw, fh = r - l, btm - t
+            frac = rng.uniform(0.12, 0.28)
+            side = rng.integers(0, 3)
+            if side == 0:
+                ol, ot, orr, ob = l, btm - fh * frac, r, btm
+            elif side == 1:
+                ol, ot, orr, ob = l, t + fh * 0.2, l + fw * frac, btm
+            else:
+                ol, ot, orr, ob = r - fw * frac, t + fh * 0.2, r, btm
+            x0 = int(np.clip(ol, 0, w - 1)); y0 = int(np.clip(ot, 0, h - 1))
+            x1 = int(np.clip(orr, x0 + 1, w)); y1 = int(np.clip(ob, y0 + 1, h))
+            bg[y0:y1, x0:x1] = rng.uniform(20, 230, size=3)
+    frame = np.clip(_photometric_aug(bg, rng), 0, 255).astype(np.uint8)
+    return frame, gt, distract, np.asarray(hard_flags, dtype=np.float32)
+
+
+def _draw_clutter_at(bg, rng, size, cx, cy):
+    """`data._draw_clutter` at a CALLER-chosen position (so the window is
+    known): temporarily re-centre by drawing into a view is not possible
+    with its internal placement, so replicate the placement contract by
+    seeding the draw into a crop around (cx, cy)."""
+    h, w = bg.shape[:2]
+    half = int(size / 2) + 2
+    x0, x1 = max(0, int(cx) - half), min(w, int(cx) + half)
+    y0, y1 = max(0, int(cy) - half), min(h, int(cy) + half)
+    if x1 - x0 < 8 or y1 - y0 < 8:
+        return
+    view = bg[y0:y1, x0:x1]
+    _draw_clutter(view, rng, size)
+
+
+def _extract(frames_u8: np.ndarray, windows: np.ndarray) -> np.ndarray:
+    """Serve-exact crop extraction: [N,H,W,3] u8 + [N,4] → [N,64,64,3] f32.
+
+    One frame per window here (training layout); serving batches K windows
+    per frame — same kernel either way."""
+    crops = crop_resize(jnp.asarray(frames_u8, dtype=jnp.float32),
+                        jnp.asarray(windows, dtype=jnp.float32)[:, None, :],
+                        refiner.CROP)
+    return np.asarray(crops[:, 0])
+
+
+def _iou(a, b):
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua if ua > 0 else 0.0
+
+
+def _clean_negative(box, gt) -> bool:
+    """True when ``box``'s CONTEXT window shows no usable face: low IoU
+    with every GT box and no GT centre inside the window (a crop with a
+    face centred-ish in frame must never be labelled negative, even when
+    box-IoU is small — the context factor widens what the refiner sees)."""
+    win = tuple(float(v) for v in np.asarray(
+        refiner.crop_boxes(jnp.asarray(box))))
+    for g in gt:
+        if _iou(box, g) >= 0.25:
+            return False
+        gcx, gcy = (g[0] + g[2]) / 2, (g[1] + g[3]) / 2
+        if win[0] <= gcx <= win[2] and win[1] <= gcy <= win[3]:
+            return False
+    return True
+
+
+class ServeMiner:
+    """Harvest serve-window crops through the FROZEN stage-1 pyramid.
+
+    Negative crops: stage-1 top candidates with IoU < 0.25 to all GT.
+    Positive crops: stage-1 candidates ON a face (IoU ≥ 0.5) — the box
+    noise the refiner sees at serve time, plus the GT box itself under
+    `_jitter_box`.
+    """
+
+    def __init__(self, seed: int = 7):
+        import os as _os
+
+        _os.environ.setdefault("PYV_NO_REFINE", "1")
+        from ..models.detector import FaceDetector
+
+        self.det = FaceDetector()          # frozen packaged stage 1
+        assert "refiner" not in self.det.params
+        self.fn = self.det._pyramid_fn(SCENE_H, SCENE_W)
+        self.rng = np.random.default_rng(seed)
+        self.neg: List[np.ndarray] = []
+        self.pos: List[Tuple[np.ndarray, float]] = []  # (crop, hard)
+        self.last_neg_score = float("nan")
+
+    def refresh(self, n_frames: int = MINE_FRAMES):
+        rng = self.rng
+        scenes = [scene(rng) for _ in range(n_frames)]
+        frames = np.stack([s[0] for s in scenes])
+        scores_j, boxes_j = self.fn(self.det.params,
+                                    jnp.asarray(frames.astype(np.float32)))
+        scores = np.asarray(scores_j)
+        boxes = np.asarray(boxes_j)
+        new_neg, new_pos = [], []
+        for i, (frame, gt, distract, hard) in enumerate(scenes):
+            order = np.argsort(scores[i])[::-1][:refiner.REFINE_K]
+            for j in order:
+                if scores[i][j] <= refiner.PROPOSAL_GATE:
+                    break
+                box = tuple(float(v) for v in boxes[i][j])
+                best = max((_iou(box, g) for g in gt), default=0.0)
+                win = np.asarray(
+                    refiner.crop_boxes(jnp.asarray(box)), dtype=np.float32)
+                if _clean_negative(box, gt):
+                    new_neg.append((i, win, float(scores[i][j])))
+                elif best >= 0.5:
+                    gi = int(np.argmax([_iou(box, g) for g in gt]))
+                    new_pos.append((i, win, float(hard[gi])))
+            # distractor-centred windows are negatives even when stage 1
+            # scored them low — cheap extra coverage of the prop families
+            for dbox in distract:
+                if _clean_negative(dbox, gt):
+                    win = np.asarray(refiner.crop_boxes(
+                        jnp.asarray(_jitter_box(rng, dbox))),
+                        dtype=np.float32)
+                    new_neg.append((i, win, 0.0))
+        if new_neg:
+            idx = np.asarray([n[0] for n in new_neg])
+            wins = np.stack([n[1] for n in new_neg])
+            crops = _extract(frames[idx], wins)
+            self.neg.extend(crops)
+            self.neg = self.neg[-NEG_BUF:]
+            self.last_neg_score = max(n[2] for n in new_neg)
+        if new_pos:
+            idx = np.asarray([p[0] for p in new_pos])
+            wins = np.stack([p[1] for p in new_pos])
+            crops = _extract(frames[idx], wins)
+            self.pos.extend(zip(crops, [p[2] for p in new_pos]))
+            self.pos = self.pos[-POS_BUF:]
+
+    def sample_neg(self, rng, k):
+        if not self.neg:
+            return np.zeros((0, refiner.CROP, refiner.CROP, 3), np.float32)
+        idx = rng.integers(0, len(self.neg), size=k)
+        return np.stack([self.neg[i] for i in idx])
+
+    def sample_pos(self, rng, k):
+        if not self.pos:
+            return (np.zeros((0, refiner.CROP, refiner.CROP, 3), np.float32),
+                    np.zeros((0,), np.float32))
+        idx = rng.integers(0, len(self.pos), size=k)
+        return (np.stack([self.pos[i][0] for i in idx]),
+                np.asarray([self.pos[i][1] for i in idx], np.float32))
+
+
+def crop_batch(rng: np.random.Generator, miner: ServeMiner,
+               n_scenes: int = 4):
+    """One training batch: fresh-scene crops + mined serve-window crops.
+
+    Returns (crops [N, 64, 64, 3] f32, labels [N] in {0, 1},
+    hard [N] — low-evidence positives get the soft margin target)."""
+    crops, labels, hard = [], [], []
+    for _ in range(n_scenes):
+        frame, gt, distract, hflags = scene(rng)
+        wins, ls, hs = [], [], []
+        for gi, g in enumerate(gt):
+            wins.append(np.asarray(refiner.crop_boxes(
+                jnp.asarray(_jitter_box(rng, g))), dtype=np.float32))
+            ls.append(1.0)
+            hs.append(float(hflags[gi]))
+        for d in distract:
+            if _clean_negative(d, gt):
+                wins.append(np.asarray(refiner.crop_boxes(
+                    jnp.asarray(_jitter_box(rng, d))), dtype=np.float32))
+                ls.append(0.0)
+                hs.append(0.0)
+        # edge-straddling + random background windows (always negative —
+        # scenes place no faces there).  Straddles cover BOTH axes: the
+        # residual serve FP family sits at the TOP edge (y ∈ [−3, 67]),
+        # not only the sides.
+        for _ in range(3):
+            side = rng.uniform(48, 160)
+            ax = rng.random()
+            if ax < 0.35:   # straddle a vertical border
+                cx = rng.choice([rng.uniform(-0.3, 0.3) * side,
+                                 SCENE_W + rng.uniform(-0.3, 0.3) * side])
+                cy = rng.uniform(0, SCENE_H)
+            elif ax < 0.7:  # straddle a horizontal border (top-biased)
+                cx = rng.uniform(0, SCENE_W)
+                cy = (rng.uniform(-0.3, 0.3) * side if rng.random() < 0.7
+                      else SCENE_H + rng.uniform(-0.3, 0.3) * side)
+            else:
+                cx = rng.uniform(0, SCENE_W)
+                cy = rng.uniform(0, SCENE_H)
+            cand = (cx - side / 2, cy - side / 2,
+                    cx + side / 2, cy + side / 2)
+            if _clean_negative(cand, gt):
+                wins.append(np.asarray(refiner.crop_boxes(
+                    jnp.asarray(cand)), dtype=np.float32))
+                ls.append(0.0)
+                hs.append(0.0)
+        if wins:
+            ex = _extract(np.repeat(frame[None], len(wins), axis=0),
+                          np.stack(wins))
+            crops.extend(ex)
+            labels.extend(ls)
+            hard.extend(hs)
+    mined = miner.sample_neg(rng, 12)
+    crops.extend(mined)
+    labels.extend([0.0] * len(mined))
+    hard.extend([0.0] * len(mined))
+    mpos, mhard = miner.sample_pos(rng, 6)
+    crops.extend(mpos)
+    labels.extend([1.0] * len(mpos))
+    hard.extend(mhard)
+    return (_color_aug(rng, np.stack(crops)), np.asarray(labels, np.float32),
+            np.asarray(hard, np.float32))
+
+
+def loss_fn(params, crops, labels, hard):
+    logits, params_new = refiner.forward(params, crops, train=True,
+                                         compute_dtype=jnp.float32)
+    bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+    pos = labels > 0.5
+    w = jnp.where(pos, 2.0, 1.0)
+    loss = jnp.sum(bce * w) / jnp.maximum(jnp.sum(w), 1.0)
+    pos_target = jnp.where(hard > 0.5, MARGIN_POS_HARD, MARGIN_POS)
+    pos_hinge = (jnp.maximum(pos_target - logits, 0.0)
+                 + jnp.maximum(logits - ANCHOR, 0.0))
+    loss = loss + MARGIN_W * (jnp.sum(pos_hinge * pos)
+                              / jnp.maximum(jnp.sum(pos), 1.0))
+    neg_hinge = jnp.where(pos, 0.0, jnp.maximum(logits - MARGIN_NEG, 0.0))
+    k = min(NEG_TOPK, int(neg_hinge.shape[0]))
+    top, _ = jax.lax.top_k(neg_hinge, k)
+    loss = loss + 2.0 * MARGIN_W * jnp.mean(top)
+    return loss, params_new
+
+
+def train(steps: int = 3000, seed: int = 0, lr: float = 3e-4,
+          log_every: int = 50, init_params=None, ckpt_path: str = None,
+          ckpt_every: int = 400):
+    rng = np.random.default_rng(seed)
+    params = (init_params if init_params is not None
+              else refiner.init_params(jax.random.PRNGKey(seed)))
+    miner = ServeMiner(seed=seed + 77)
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.1)
+    tx = optax.adam(sched)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, crops, labels, hard):
+        (loss, params_bn), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, crops, labels, hard)
+        updates, opt_state = tx.update(grads, opt_state, params_bn)
+        return optax.apply_updates(params_bn, updates), opt_state, loss
+
+    # batches vary in size (scene-dependent); bucket to limit recompiles
+    def pad_to_bucket(crops, labels, hard):
+        n = crops.shape[0]
+        bucket = 32
+        m = ((n + bucket - 1) // bucket) * bucket
+        if m != n:
+            pad = m - n
+            crops = np.concatenate([crops, np.zeros((pad,) + crops.shape[1:],
+                                                    crops.dtype)])
+            labels = np.concatenate([labels, np.zeros(pad, np.float32)])
+            # padding counts as easy negatives (black crops)
+            hard = np.concatenate([hard, np.zeros(pad, np.float32)])
+        return crops, labels, hard
+
+    t0 = time.time()
+    for step in range(steps):
+        if step % MINE_EVERY == 0:
+            miner.refresh()
+        crops, labels, hard = pad_to_bucket(*crop_batch(rng, miner))
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(crops), jnp.asarray(labels),
+            jnp.asarray(hard))
+        if step % log_every == 0 or step == steps - 1:
+            print(f"step {step:5d}  loss {float(loss):.4f}  "
+                  f"({time.time() - t0:.1f}s)  "
+                  f"buf neg {len(miner.neg)} (last max "
+                  f"{miner.last_neg_score:.1f}) pos {len(miner.pos)}",
+                  flush=True)
+        if ckpt_path and step and step % ckpt_every == 0:
+            save_params(ckpt_path, params)
+            print(f"ckpt @ {step} -> {ckpt_path}", flush=True)
+    return params
+
+
+def main():
+    from ..models.nn import load_params
+    from ..models.weights import REFINER_FILE
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    lr = next((float(a.split("=", 1)[1]) for a in sys.argv[1:]
+               if a.startswith("--lr=")), 3e-4)
+    init_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                      if a.startswith("--init=")), None)
+    steps = int(args[0]) if len(args) > 0 else 3000
+    out = args[1] if len(args) > 1 else str(REFINER_FILE)
+    init = load_params(init_path) if init_path else None
+    params = train(steps=steps, lr=lr, init_params=init,
+                   ckpt_path=out + ".ckpt")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save_params(out, params)
+    print("saved", out)
+
+
+if __name__ == "__main__":
+    main()
