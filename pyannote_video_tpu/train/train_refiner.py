@@ -206,15 +206,44 @@ def _draw_clutter_at(bg, rng, size, cx, cy):
     _draw_clutter(view, rng, size)
 
 
-def _extract(frames_u8: np.ndarray, windows: np.ndarray) -> np.ndarray:
-    """Serve-exact crop extraction: [N,H,W,3] u8 + [N,4] → [N,64,64,3] f32.
+_CROP_BUCKET = 8
 
-    One frame per window here (training layout); serving batches K windows
-    per frame — same kernel either way."""
-    crops = crop_resize(jnp.asarray(frames_u8, dtype=jnp.float32),
-                        jnp.asarray(windows, dtype=jnp.float32)[:, None, :],
-                        refiner.CROP)
-    return np.asarray(crops[:, 0])
+
+@jax.jit
+def _crop_kernel(frames_u8: jnp.ndarray, wins: jnp.ndarray) -> jnp.ndarray:
+    # u8 frames cast on DEVICE: the host→device copy is 4× smaller, and
+    # u8→f32 is exact, so the crops match the old f32-upload layout
+    return crop_resize(frames_u8.astype(jnp.float32), wins, refiner.CROP)
+
+
+def _extract_grouped(frames_u8: np.ndarray, wins_per_frame) -> list:
+    """Serve-exact crop extraction, one device copy per DISTINCT frame.
+
+    frames_u8: [F, H, W, 3] u8; wins_per_frame: per-frame sequences of
+    (l, t, r, b) windows.  Returns a list of [n_i, CROP, CROP, 3] f32
+    crop arrays (n_i = len(wins_per_frame[i])).
+
+    Grouping matters on a tunnelled device: the old layout (each window
+    paired with its own full-frame copy) pushed ~25 MB of redundant f32
+    frame bytes per scene through the host↔device link and measured
+    4.6 s/step; one u8 copy per frame with the windows batched along the
+    crop axis is ~50× less transfer for identical crops (the serve path
+    batches windows the same way).  Window counts are padded to
+    ``_CROP_BUCKET`` so the jitted kernel sees a handful of shapes.
+    """
+    counts = [len(w) for w in wins_per_frame]
+    m = max(counts, default=0)
+    if m == 0:
+        return [np.zeros((0, refiner.CROP, refiner.CROP, 3), np.float32)
+                for _ in wins_per_frame]
+    M = ((m + _CROP_BUCKET - 1) // _CROP_BUCKET) * _CROP_BUCKET
+    wins = np.zeros((len(wins_per_frame), M, 4), np.float32)
+    for i, w in enumerate(wins_per_frame):
+        if counts[i]:
+            wins[i, :counts[i]] = np.asarray(w, np.float32)
+    crops = np.asarray(_crop_kernel(
+        jnp.asarray(np.ascontiguousarray(frames_u8)), jnp.asarray(wins)))
+    return [crops[i, :counts[i]] for i in range(len(wins_per_frame))]
 
 
 def _iou(a, b):
@@ -296,17 +325,19 @@ class ServeMiner:
                         dtype=np.float32)
                     new_neg.append((i, win, 0.0))
         if new_neg:
-            idx = np.asarray([n[0] for n in new_neg])
-            wins = np.stack([n[1] for n in new_neg])
-            crops = _extract(frames[idx], wins)
-            self.neg.extend(crops)
+            per_frame = [[n[1] for n in new_neg if n[0] == i]
+                         for i in range(len(frames))]
+            crops = _extract_grouped(frames, per_frame)
+            self.neg.extend(c for lst in crops for c in lst)
             self.neg = self.neg[-NEG_BUF:]
             self.last_neg_score = max(n[2] for n in new_neg)
         if new_pos:
-            idx = np.asarray([p[0] for p in new_pos])
-            wins = np.stack([p[1] for p in new_pos])
-            crops = _extract(frames[idx], wins)
-            self.pos.extend(zip(crops, [p[2] for p in new_pos]))
+            per_frame = [[(p[1], p[2]) for p in new_pos if p[0] == i]
+                         for i in range(len(frames))]
+            crops = _extract_grouped(
+                frames, [[w for w, _ in lst] for lst in per_frame])
+            hards = [h for lst in per_frame for _, h in lst]
+            self.pos.extend(zip((c for lst in crops for c in lst), hards))
             self.pos = self.pos[-POS_BUF:]
 
     def sample_neg(self, rng, k):
@@ -331,6 +362,7 @@ def crop_batch(rng: np.random.Generator, miner: ServeMiner,
     Returns (crops [N, 64, 64, 3] f32, labels [N] in {0, 1},
     hard [N] — low-evidence positives get the soft margin target)."""
     crops, labels, hard = [], [], []
+    scene_frames, scene_wins = [], []
     for _ in range(n_scenes):
         frame, gt, distract, hflags = scene(rng)
         wins, ls, hs = [], [], []
@@ -370,12 +402,13 @@ def crop_batch(rng: np.random.Generator, miner: ServeMiner,
                     jnp.asarray(cand)), dtype=np.float32))
                 ls.append(0.0)
                 hs.append(0.0)
-        if wins:
-            ex = _extract(np.repeat(frame[None], len(wins), axis=0),
-                          np.stack(wins))
-            crops.extend(ex)
-            labels.extend(ls)
-            hard.extend(hs)
+        scene_frames.append(frame)
+        scene_wins.append(wins)
+        labels.extend(ls)
+        hard.extend(hs)
+    # one grouped device call for ALL scenes' windows (see _extract_grouped)
+    for ex in _extract_grouped(np.stack(scene_frames), scene_wins):
+        crops.extend(ex)
     mined = miner.sample_neg(rng, 12)
     crops.extend(mined)
     labels.extend([0.0] * len(mined))
@@ -409,7 +442,7 @@ def loss_fn(params, crops, labels, hard):
 
 def train(steps: int = 3000, seed: int = 0, lr: float = 3e-4,
           log_every: int = 50, init_params=None, ckpt_path: str = None,
-          ckpt_every: int = 400):
+          ckpt_every: int = 200):
     rng = np.random.default_rng(seed)
     params = (init_params if init_params is not None
               else refiner.init_params(jax.random.PRNGKey(seed)))
@@ -440,10 +473,40 @@ def train(steps: int = 3000, seed: int = 0, lr: float = 3e-4,
         return crops, labels, hard
 
     t0 = time.time()
+
+    # producer thread overlaps scene rendering + crop extraction (and the
+    # periodic mining refresh — stage 1 is FROZEN, so mining needs no
+    # parameter feedback from the consumer) with the device train step;
+    # same pattern as train_detector's batch stream
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            batch_i = 0
+            while not stop.is_set():
+                if batch_i % MINE_EVERY == 0:
+                    miner.refresh()
+                item = pad_to_bucket(*crop_batch(rng, miner))
+                batch_i += 1
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue_mod.Full:
+                        pass
+        except BaseException as exc:  # propagate instead of hanging q.get()
+            q.put(exc)
+
+    threading.Thread(target=producer, daemon=True).start()
     for step in range(steps):
-        if step % MINE_EVERY == 0:
-            miner.refresh()
-        crops, labels, hard = pad_to_bucket(*crop_batch(rng, miner))
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        crops, labels, hard = item
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(crops), jnp.asarray(labels),
             jnp.asarray(hard))
@@ -456,6 +519,7 @@ def train(steps: int = 3000, seed: int = 0, lr: float = 3e-4,
         if ckpt_path and step and step % ckpt_every == 0:
             save_params(ckpt_path, params)
             print(f"ckpt @ {step} -> {ckpt_path}", flush=True)
+    stop.set()
     return params
 
 
